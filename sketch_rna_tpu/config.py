@@ -1,0 +1,67 @@
+"""Configuration for the quantification pipeline.
+
+Every constant that is hard-coded in the reference is promoted to a config
+field here with the reference's exact default (SURVEY.md §5 "Config / flag
+system"):
+
+  sketch_fraction   = 0.05   (src/main.cpp:43, global `sketch_size`)
+  chain_fraction    = 0.9    (src/main.cpp:185, `sparse_chain(..., 0.9)`)
+  em_max_iterations = 20     (src/main.cpp:188)
+  em_convergence    = 0.01   (src/main.cpp:188)
+  pseudocount       = 0.01   (src/isoform_assignment.cpp:54)
+  em_epsilon        = 1e-10  (src/isoform_assignment.cpp:28)
+  kmer_lengths      = (31,)  (src/main.cpp:215 default)
+
+TPU-specific capacity knobs (raggedness bounds, SURVEY.md §7.4) have no
+reference equivalent; overflow past any capacity is counted and reported,
+never silent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    # --- reference-mirrored algorithm constants -------------------------
+    kmer_lengths: Tuple[int, ...] = (31,)
+    sketch_fraction: float = 0.05
+    chain_fraction: float = 0.9
+    em_max_iterations: int = 20
+    em_convergence: float = 0.01
+    pseudocount: float = 0.01
+    em_epsilon: float = 1e-10
+
+    # --- TPU capacity / batching knobs ----------------------------------
+    # Max reads per device batch through the hash+match kernels.
+    batch_size: int = 4096
+    # Padded read length (reads are padded/bucketed to this many bases).
+    max_read_len: int = 256
+    # Per-read, per-k sketch capacity (distinct kept hashes). Expected kept
+    # count is ~fraction*(L-k+1); default leaves generous headroom.
+    sketch_capacity: int = 32
+    # Ragged posting-expansion budget per read per k (flat candidate pairs).
+    expand_per_read: int = 256
+    # Max candidate transcripts retained per read after thresholding
+    # (reference keeps all; overflow keeps top-score and is counted).
+    candidate_capacity: int = 64
+    # dtype for EM/assignment accumulation: "float64" matches the reference
+    # (C++ double) bit-for-bit on CPU; use "float32" on TPU.
+    em_dtype: str = "float32"
+
+    def sketch_capacity_for(self, k: int) -> int:
+        """Auto-size sketch capacity from the padded read length."""
+        n_kmers = max(self.max_read_len - k + 1, 1)
+        import math
+
+        expected = n_kmers * self.sketch_fraction
+        # ~6 sigma headroom on a binomial tail, rounded up to a lane-friendly
+        # multiple of 8; never below the configured floor.
+        cap = int(math.ceil(expected + 6.0 * math.sqrt(max(expected, 1.0))))
+        cap = ((cap + 7) // 8) * 8
+        return max(cap, self.sketch_capacity)
+
+
+DEFAULT_CONFIG = QuantConfig()

@@ -1,0 +1,146 @@
+"""ntHash2 correctness: algebraic properties, cross-implementation
+agreement, vectorized-vs-scalar equality, and frozen golden vectors
+(SURVEY.md §4 "ntHash forward-hash vectors... golden 64-bit values and
+their 32-bit truncations")."""
+
+import numpy as np
+import pytest
+
+from sketch_rna_tpu.hash.nthash import (
+    NTHASH_SEEDS,
+    SROL_PERIOD,
+    nthash_batch_u32,
+    nthash_forward_scalar,
+    nthash_forward_scalar_direct,
+    srol,
+    window_tables_u32,
+)
+
+BASES = "ACGT"
+
+
+def codes_of(s):
+    return [BASES.index(c) for c in s]
+
+
+def random_codes(rng, n):
+    return list(rng.integers(0, 4, size=n))
+
+
+# ---------------------------------------------------------------- srol ---
+
+
+def test_srol_identity_and_period():
+    x = 0xDEADBEEFCAFEF00D
+    assert srol(x, 0) == x
+    assert srol(x, SROL_PERIOD) == x
+    assert srol(srol(x, 5), 7) == srol(x, 12)
+
+
+def test_srol_is_permutation_of_bits():
+    # srol by 1 must preserve popcount and be invertible via d=period-1.
+    x = 0x123456789ABCDEF0
+    y = srol(x, 1)
+    assert bin(x).count("1") == bin(y).count("1")
+    assert srol(y, SROL_PERIOD - 1) == x
+
+
+def test_srol_field_split():
+    # Bit 32 (top of the low 33-bit field) wraps to bit 0, not bit 33.
+    assert srol(1 << 32, 1) == 1
+    # Bit 63 (top of the high 31-bit field) wraps to bit 33.
+    assert srol(1 << 63, 1) == 1 << 33
+    # Bits below the field tops shift left normally.
+    assert srol(1 << 10, 1) == 1 << 11
+    assert srol(1 << 40, 1) == 1 << 41
+
+
+# ------------------------------------------------- scalar implementations ---
+
+
+@pytest.mark.parametrize("k", [3, 5, 21, 31, 63])
+def test_rolling_matches_direct(rng, k):
+    codes = random_codes(rng, 200)
+    a = nthash_forward_scalar(codes, k)
+    b = nthash_forward_scalar_direct(codes, k)
+    assert a == b
+    assert len(a) == 200 - k + 1
+
+
+def test_first_kmer_is_windowed_xor_of_seeds():
+    # By definition: fh = XOR_j srol^(k-1-j)(seed_j).
+    codes = codes_of("ACGTA")
+    k = 5
+    expected = 0
+    for j in range(k):
+        expected ^= srol(NTHASH_SEEDS[codes[j]], k - 1 - j)
+    assert nthash_forward_scalar(codes, k)[0] == expected
+
+
+def test_single_base_kmer_is_seed():
+    for b in range(4):
+        assert nthash_forward_scalar([b], 1) == [NTHASH_SEEDS[b]]
+
+
+def test_hash_depends_on_position():
+    # srol-based mixing: "AA" at k=1 gives same hash twice, but a k=2
+    # window distinguishes AC from CA.
+    ac = nthash_forward_scalar(codes_of("AC"), 2)[0]
+    ca = nthash_forward_scalar(codes_of("CA"), 2)[0]
+    assert ac != ca
+
+
+# ------------------------------------------------------- golden vectors ---
+
+# Frozen outputs of the scalar implementation (validated against the
+# published ntHash2 definition: seeds + split-rotation); any change to
+# seeds/srol breaks these.  Note ACGTACGT at k=4: positions 0 and 4 hold
+# the same 4-mer and must hash identically.
+GOLDEN_FROZEN = {
+    ("A", 1): [0x3C8BFBB395C60474],
+    ("ACGTACGT", 4): [
+        0x4B21EFD76BFC8C8A,
+        0x62779F381E5F5A2D,
+        0xEC40E7B3741C2BDD,
+        0xFB901CB24F1D46DB,
+        0x4B21EFD76BFC8C8A,
+    ],
+    ("T" * 31, 31): [0xFFFFFFFE08F64CC1],
+}
+
+
+def test_golden_vectors():
+    for (seq, k), expected in GOLDEN_FROZEN.items():
+        got = nthash_forward_scalar(codes_of(seq), k)
+        assert got == expected, (seq, k, [hex(g) for g in got])
+
+
+def test_homopolymer_hashes_equal():
+    # Every window of a homopolymer is the same k-mer -> same hash.
+    got = nthash_forward_scalar(codes_of("T" * 40), 31)
+    assert len(set(got)) == 1
+
+
+# --------------------------------------------------------- batch (jnp) ---
+
+
+@pytest.mark.parametrize("k", [5, 21, 31])
+def test_batch_matches_scalar_low32(rng, k):
+    B, L = 7, 120
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    out = np.asarray(nthash_batch_u32(codes, k))
+    assert out.shape == (B, L - k + 1)
+    assert out.dtype == np.uint32
+    for b in range(B):
+        ref = nthash_forward_scalar(list(codes[b]), k)
+        ref32 = np.array([h & 0xFFFFFFFF for h in ref], dtype=np.uint32)
+        np.testing.assert_array_equal(out[b], ref32)
+
+
+def test_window_tables_content():
+    t = window_tables_u32(31)
+    assert t.shape == (31, 4)
+    # Last window offset applies no rotation: the raw seed low words.
+    for b in range(4):
+        assert int(t[30, b]) == NTHASH_SEEDS[b] & 0xFFFFFFFF
+        assert int(t[0, b]) == srol(NTHASH_SEEDS[b], 30) & 0xFFFFFFFF
