@@ -1,0 +1,149 @@
+"""EM abundance estimation + soft read assignment over flat candidate
+pairs (CSR view of the read -> candidate bipartite graph).
+
+Reference semantics preserved exactly (SURVEY.md §7.0 contracts #5, #6):
+  - E-step posterior(t | r) = pi[t]*count / sum over r's candidates, with
+    zero contribution when the denominator <= 1e-10
+    (src/isoform_assignment.cpp:30-51),
+  - M-step pi[t] = posterior_sum[t] + pseudocount/R + pseudocount,
+    UNNORMALIZED, pseudocount a float32 0.01 and pseudocount/R divided in
+    float32 before promotion (src/isoform_assignment.cpp:54-60),
+  - stop when the L1 change over ALL transcripts drops below the
+    threshold, checked after the update (src/isoform_assignment.cpp:62-64),
+  - assignment uses the final pi with guard total > 0.0
+    (src/isoform_assignment.cpp:70-97).
+
+TPU shape (SURVEY.md §3.4): pairs are flat arrays (read, tid, score); the
+E-step is two gathers + a multiply, per-read denominators and
+per-transcript posterior sums are segment-sums, and the convergence loop
+runs inside one jitted lax.while_loop.  Under shard_map, reads are
+sharded over the data axis and the per-transcript sums are merged with a
+psum — the cross-host all-reduce the reference's serial accumulation
+becomes (SURVEY.md §5 "Distributed communication backend").
+
+Pair padding convention: padded lanes carry score == 0 (inert in every
+sum) and pair_read == read_capacity (an extra sentinel segment).
+num_reads is the GLOBAL R (all valid reads, with or without candidates,
+= homologous_segments.size()).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _psum_maybe(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_transcripts",
+        "read_capacity",
+        "max_iterations",
+        "convergence_threshold",
+        "pseudocount",
+        "epsilon",
+        "dtype",
+        "axis_name",
+    ),
+)
+def run_em(
+    pair_read: jnp.ndarray,
+    pair_tid: jnp.ndarray,
+    pair_score: jnp.ndarray,
+    num_reads: jnp.ndarray,
+    *,
+    num_transcripts: int,
+    read_capacity: int,
+    max_iterations: int = 20,
+    convergence_threshold: float = 0.01,
+    pseudocount: float = 0.01,
+    epsilon: float = 1e-10,
+    dtype: str = "float32",
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the EM loop; returns (pi [T], iterations_run []).
+
+    pair_read holds local read rows in [0, read_capacity]; the value
+    read_capacity is the padding sentinel.
+    """
+    T = num_transcripts
+    dt = jnp.dtype(dtype)
+    score = pair_score.astype(dt)
+    read_ids = pair_read.astype(jnp.int32)
+    n_seg = read_capacity + 1
+
+    pi0 = jnp.full(T, 1.0 / T, dtype=dt)
+
+    # C++: float pseudocount = 0.01; 'pseudocount / R' divides in float32
+    # (size_t -> float conversion), each addition then promotes.
+    pcf = jnp.float32(pseudocount)
+    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + jnp.asarray(pseudocount, dt)
+
+    def e_step(pi):
+        w = pi[pair_tid] * score
+        denom = jax.ops.segment_sum(w, read_ids, num_segments=n_seg)
+        inv = jnp.where(denom > jnp.asarray(epsilon, dt), 1.0 / denom, jnp.asarray(0, dt))
+        post = w * inv[read_ids]
+        ps = jax.ops.segment_sum(post, pair_tid, num_segments=T)
+        return _psum_maybe(ps, axis_name)
+
+    def cond(state):
+        _, it, done = state
+        return (it < max_iterations) & jnp.logical_not(done)
+
+    def body(state):
+        pi, it, _ = state
+        new_pi = e_step(pi) + term
+        change = jnp.sum(jnp.abs(new_pi - pi))
+        return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
+
+    pi, iters, _ = jax.lax.while_loop(cond, body, (pi0, jnp.int32(0), jnp.bool_(False)))
+    return pi, iters
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_transcripts", "read_capacity", "dtype", "axis_name"),
+)
+def assign_reads(
+    pair_read: jnp.ndarray,
+    pair_tid: jnp.ndarray,
+    pair_score: jnp.ndarray,
+    pi: jnp.ndarray,
+    *,
+    num_transcripts: int,
+    read_capacity: int,
+    dtype: str = "float32",
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft assignment with the final pi (contract #6).
+
+    Returns (weighted_counts [T], has_entry [T] bool) where has_entry
+    marks transcripts that received a read_counts map entry in the
+    reference (candidate of >= 1 read with total probability > 0) — the
+    CSV row filter (src/data_io.cpp:143-147).
+    """
+    T = num_transcripts
+    dt = jnp.dtype(dtype)
+    score = pair_score.astype(dt)
+    read_ids = pair_read.astype(jnp.int32)
+    n_seg = read_capacity + 1
+
+    w = pi[pair_tid] * score
+    denom = jax.ops.segment_sum(w, read_ids, num_segments=n_seg)
+    ok = denom > jnp.asarray(0, dt)
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), jnp.asarray(0, dt))
+    prob = w * inv[read_ids]
+    weighted = jax.ops.segment_sum(prob, pair_tid, num_segments=T)
+    contributes = (score > 0) & ok[read_ids]
+    has_entry = jax.ops.segment_sum(contributes.astype(jnp.int32), pair_tid, num_segments=T)
+    weighted = _psum_maybe(weighted, axis_name)
+    has_entry = _psum_maybe(has_entry, axis_name)
+    return weighted, has_entry > 0

@@ -1,0 +1,8 @@
+from sketch_rna_tpu.io.fasta import load_fasta  # noqa: F401
+from sketch_rna_tpu.io.fastq import iter_fastq_records, load_fastq_dict  # noqa: F401
+from sketch_rna_tpu.io.packing import (  # noqa: F401
+    PackedReads,
+    encode_sequence,
+    is_valid_sequence,
+    pack_reads,
+)

@@ -1,0 +1,247 @@
+"""End-to-end orchestration: index build and quantification.
+
+Mirrors the reference drivers (build_and_save_index src/main.cpp:56-92,
+quantification src/main.cpp:165-197) with a TPU execution shape: reads
+stream through fixed-size device batches (sketch -> match in one jitted
+program per batch), candidate pairs accumulate as flat CSR arrays, and
+the EM + assignment run as single jitted programs over all pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sketch_rna_tpu.config import QuantConfig
+from sketch_rna_tpu.em.em import assign_reads, run_em
+from sketch_rna_tpu.index.artifact import IndexArtifact
+from sketch_rna_tpu.io.packing import PackedReads
+from sketch_rna_tpu.match.candidates import match_batch
+from sketch_rna_tpu.sketch.fracminhash import sketch_batch
+
+log = logging.getLogger(__name__)
+
+
+def _padded_index_arrays(idx: IndexArtifact, ks: Sequence[int]):
+    """Per-k (keys, row_ptr, postings) with empty indexes padded to one
+    never-matching sentinel key so shapes stay non-degenerate."""
+    keys, row_ptr, postings = [], [], []
+    for k in ks:
+        ki = idx.per_k[k]
+        if ki.num_keys == 0:
+            keys.append(np.array([0xFFFFFFFF], dtype=np.uint32))
+            row_ptr.append(np.zeros(2, dtype=np.int32))
+            postings.append(np.zeros(1, dtype=np.int32))
+        else:
+            keys.append(ki.keys)
+            row_ptr.append(ki.row_ptr)
+            postings.append(ki.postings)
+    return keys, row_ptr, postings
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kmer_lengths",
+        "sketch_fraction",
+        "sketch_caps",
+        "chain_fraction",
+        "expand_per_read",
+        "candidate_capacity",
+    ),
+)
+def sketch_match_step(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    index_keys: Tuple[jnp.ndarray, ...],
+    index_row_ptr: Tuple[jnp.ndarray, ...],
+    index_postings: Tuple[jnp.ndarray, ...],
+    *,
+    kmer_lengths: Tuple[int, ...],
+    sketch_fraction: float,
+    sketch_caps: Tuple[int, ...],
+    chain_fraction: float,
+    expand_per_read: int,
+    candidate_capacity: int,
+):
+    """One device batch: per-k sketching + candidate matching.
+
+    This is the quant hot path (reference hot loops #3 and #4,
+    SURVEY.md §3.2) as a single XLA program.
+    """
+    hashes, masks, overflows = [], [], []
+    for k, cap in zip(kmer_lengths, sketch_caps):
+        h, m, ov = sketch_batch(codes, lengths, k, sketch_fraction, cap)
+        hashes.append(h)
+        masks.append(m)
+        overflows.append(ov)
+    result = match_batch(
+        hashes,
+        masks,
+        index_keys,
+        index_row_ptr,
+        index_postings,
+        chain_fraction=chain_fraction,
+        expand_per_read=expand_per_read,
+        candidate_capacity=candidate_capacity,
+    )
+    stats = dict(result.stats)
+    stats["sketch_overflow"] = jnp.stack(overflows)
+    return result.tid, result.score, result.mask, stats
+
+
+@dataclasses.dataclass
+class QuantResult:
+    names: List[str]
+    pi: np.ndarray  # [T] final EM abundances
+    weighted_counts: np.ndarray  # [T] soft-assigned read counts
+    has_entry: np.ndarray  # [T] bool: gets a CSV row
+    em_iterations: int
+    num_reads: int  # R (valid reads, incl. candidate-less)
+    stats: Dict[str, int]
+
+    def csv_rows(self) -> List[Tuple[str, float, float]]:
+        """(name, NumReads, EM_Abundance) rows in deterministic index
+        order; the reference emits unordered_map order (quirk Q4)."""
+        return [
+            (self.names[t], float(self.weighted_counts[t]), float(self.pi[t]))
+            for t in range(len(self.names))
+            if self.has_entry[t]
+        ]
+
+
+def collect_pairs(
+    index: IndexArtifact,
+    packed: PackedReads,
+    config: QuantConfig,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict[str, int]]:
+    """Run sketch+match over all batches; return flat candidate pairs
+    (read_row, tid, score) on the host, plus overflow stats."""
+    ks = tuple(index.kmer_lengths)
+    caps = tuple(config.sketch_capacity_for(k) for k in ks)
+    keys, row_ptr, postings = _padded_index_arrays(index, ks)
+    keys = tuple(jnp.asarray(a) for a in keys)
+    row_ptr = tuple(jnp.asarray(a) for a in row_ptr)
+    postings = tuple(jnp.asarray(a) for a in postings)
+
+    p_read: List[np.ndarray] = []
+    p_tid: List[np.ndarray] = []
+    p_score: List[np.ndarray] = []
+    stats = {"expand_dropped": 0, "candidate_spilled": 0, "sketch_overflow": 0}
+    B = config.batch_size
+    for codes, lengths, row0 in packed.batches(B):
+        tid, score, mask, s = sketch_match_step(
+            jnp.asarray(codes),
+            jnp.asarray(lengths),
+            keys,
+            row_ptr,
+            postings,
+            kmer_lengths=ks,
+            sketch_fraction=config.sketch_fraction,
+            sketch_caps=caps,
+            chain_fraction=config.chain_fraction,
+            expand_per_read=config.expand_per_read,
+            candidate_capacity=config.candidate_capacity,
+        )
+        tid = np.asarray(tid)
+        score = np.asarray(score)
+        mask = np.asarray(mask)
+        # Padded batch rows beyond the true read count have length 0 and
+        # produce no sketches hence no candidates; mask handles them.
+        rows, cols = np.nonzero(mask)
+        global_rows = rows + row0
+        keep = global_rows < packed.num_reads
+        p_read.append(global_rows[keep].astype(np.int32))
+        p_tid.append(tid[rows[keep], cols[keep]])
+        p_score.append(score[rows[keep], cols[keep]])
+        stats["expand_dropped"] += int(np.asarray(s["expand_dropped"]).sum())
+        stats["candidate_spilled"] += int(np.asarray(s["candidate_spilled"]))
+        stats["sketch_overflow"] += int(np.asarray(s["sketch_overflow"]).sum())
+
+    pr = np.concatenate(p_read) if p_read else np.zeros(0, np.int32)
+    pt = np.concatenate(p_tid) if p_tid else np.zeros(0, np.int32)
+    ps = np.concatenate(p_score) if p_score else np.zeros(0, np.int32)
+    for key, v in stats.items():
+        if v:
+            log.warning("capacity overflow during matching: %s=%d", key, v)
+    return pr, pt, ps, stats
+
+
+def _pad_pairs(pr, pt, ps, read_capacity: int, multiple: int = 1024):
+    n = pr.shape[0]
+    padded = max(((n + multiple - 1) // multiple) * multiple, multiple)
+    out_r = np.full(padded, read_capacity, np.int32)
+    out_t = np.zeros(padded, np.int32)
+    out_s = np.zeros(padded, np.int32)
+    out_r[:n] = pr
+    out_t[:n] = pt
+    out_s[:n] = ps
+    return out_r, out_t, out_s
+
+
+def quantify(
+    index: IndexArtifact,
+    packed: PackedReads,
+    config: Optional[QuantConfig] = None,
+) -> QuantResult:
+    """Full quant: sketch -> match -> EM -> assignment (src/main.cpp:165-197)."""
+    config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
+    T = index.num_transcripts
+    R = packed.num_reads
+
+    pr, pt, ps, stats = collect_pairs(index, packed, config)
+    pr_p, pt_p, ps_p = _pad_pairs(pr, pt, ps, read_capacity=R)
+
+    pi, iters = run_em(
+        jnp.asarray(pr_p),
+        jnp.asarray(pt_p),
+        jnp.asarray(ps_p),
+        jnp.asarray(R, dtype=jnp.int32),
+        num_transcripts=T,
+        read_capacity=R,
+        max_iterations=config.em_max_iterations,
+        convergence_threshold=config.em_convergence,
+        pseudocount=config.pseudocount,
+        epsilon=config.em_epsilon,
+        dtype=config.em_dtype,
+    )
+    weighted, has_entry = assign_reads(
+        jnp.asarray(pr_p),
+        jnp.asarray(pt_p),
+        jnp.asarray(ps_p),
+        pi,
+        num_transcripts=T,
+        read_capacity=R,
+        dtype=config.em_dtype,
+    )
+    return QuantResult(
+        names=list(index.names),
+        pi=np.asarray(pi),
+        weighted_counts=np.asarray(weighted),
+        has_entry=np.asarray(has_entry),
+        em_iterations=int(iters),
+        num_reads=R,
+        stats=stats,
+    )
+
+
+def format_cpp_double(v: float) -> str:
+    """C++ default ostream double formatting: %g with 6 significant
+    digits (src/data_io.cpp:148 uses the stream defaults)."""
+    return f"{v:.6g}"
+
+
+def write_csv(path: str, result: QuantResult) -> None:
+    """CSV schema of output_to_csv (src/data_io.cpp:133-152):
+    header Name,NumReads,EM_Abundance; rows only for transcripts with a
+    read_counts entry; deterministic index order replaces quirk Q4."""
+    with open(path, "w") as fh:
+        fh.write("Name,NumReads,EM_Abundance\n")
+        for name, numreads, abundance in result.csv_rows():
+            fh.write(f"{name},{format_cpp_double(numreads)},{format_cpp_double(abundance)}\n")
