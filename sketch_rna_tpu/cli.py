@@ -1,0 +1,165 @@
+"""Command-line interface mirroring the reference binary (src/main.cpp:212-276).
+
+Modes and flags preserved:
+  -o/--mode {index,quant}   default quant  (src/main.cpp:214, :243-245)
+  -k/--kmer-length LIST     comma-separated, default 31 (src/main.cpp:215)
+  index mode:  <reference.fasta> <index_output>
+  quant mode:  <index_file> <reads.fastq> <output.csv>
+
+Reference quirk Q1 preserved: in quant mode the k-mer lengths stored in
+the index always win over -k (src/main.cpp:174 net behavior).
+
+Every hard-coded reference constant is additionally exposed as a flag
+with its reference default (SURVEY.md §5 "Config / flag system").
+Phase progress lines mirror src/main.cpp:176-196.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+from typing import List, Optional
+
+from sketch_rna_tpu.config import QuantConfig
+
+
+def _parse_kmer_list(s: str) -> tuple:
+    out = []
+    for tok in s.split(","):
+        tok = tok.strip()
+        if tok:
+            out.append(int(tok))
+    if not out:
+        raise argparse.ArgumentTypeError("empty k-mer list")
+    return tuple(out)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sketch-rna-tpu",
+        description="TPU-native alignment-free RNA-seq isoform quantification "
+        "(index/quant modes mirror the reference tool).",
+    )
+    p.add_argument("-o", "--mode", choices=["index", "quant"], default="quant")
+    p.add_argument("-k", "--kmer-length", type=_parse_kmer_list, default=(31,), metavar="K[,K...]")
+    p.add_argument("positional", nargs="*", help="index: <ref.fasta> <index_out> | quant: <index> <reads.fastq> <out.csv>")
+    # Reference constants promoted to flags (reference defaults).
+    p.add_argument("--sketch-fraction", type=float, default=0.05)
+    p.add_argument("--chain-fraction", type=float, default=0.9)
+    p.add_argument("--em-max-iterations", type=int, default=20)
+    p.add_argument("--em-convergence", type=float, default=0.01)
+    p.add_argument("--pseudocount", type=float, default=0.01)
+    # TPU capacity knobs.
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--max-read-len", type=int, default=256)
+    p.add_argument("--candidate-capacity", type=int, default=64)
+    p.add_argument("--expand-per-read", type=int, default=256)
+    p.add_argument("--em-dtype", choices=["float32", "float64"], default=None,
+                   help="default: float64 on CPU backend, float32 on TPU")
+    return p
+
+
+def _config_from_args(args, kmer_lengths) -> QuantConfig:
+    em_dtype = args.em_dtype
+    if em_dtype is None:
+        import jax
+
+        em_dtype = (
+            "float64"
+            if jax.default_backend() == "cpu" and jax.config.jax_enable_x64
+            else "float32"
+        )
+    return QuantConfig(
+        kmer_lengths=tuple(kmer_lengths),
+        sketch_fraction=args.sketch_fraction,
+        chain_fraction=args.chain_fraction,
+        em_max_iterations=args.em_max_iterations,
+        em_convergence=args.em_convergence,
+        pseudocount=args.pseudocount,
+        batch_size=args.batch_size,
+        max_read_len=args.max_read_len,
+        candidate_capacity=args.candidate_capacity,
+        expand_per_read=args.expand_per_read,
+        em_dtype=em_dtype,
+    )
+
+
+def run_index(ref_fasta: str, index_out: str, config: QuantConfig) -> None:
+    from sketch_rna_tpu.index.artifact import save_index
+    from sketch_rna_tpu.index.build import build_index
+    from sketch_rna_tpu.io.fasta import load_fasta
+
+    t0 = time.perf_counter()
+    records = load_fasta(ref_fasta)
+    idx = build_index(records, config)
+    elapsed = time.perf_counter() - t0
+    # Mirrors "Index built in N seconds." (src/main.cpp:88).
+    print(f"Index built in {elapsed} seconds.")
+    save_index(index_out, idx)
+    print(f"Index saved to {index_out}")
+
+
+def run_quant(index_path: str, reads_path: str, output_path: str, config: QuantConfig) -> None:
+    from sketch_rna_tpu.index.artifact import load_index
+    from sketch_rna_tpu.io.fastq import load_fastq_dict
+    from sketch_rna_tpu.io.packing import pack_reads
+    from sketch_rna_tpu.pipeline import quantify, write_csv
+
+    idx = load_index(index_path)
+    print("Loading index completed")
+    # Quirk Q1: the index's k-mer lengths win over CLI -k.
+    config = dataclasses.replace(config, kmer_lengths=tuple(idx.kmer_lengths))
+
+    reads = load_fastq_dict(reads_path)
+    max_k = max(idx.kmer_lengths)
+    # The reference processes reads of any length (src/main.cpp:107-151);
+    # grow the pad width beyond the configured default if needed so no
+    # valid read is dropped (rounded up to a lane-friendly multiple).
+    longest = max((len(s) for s in reads.values()), default=0)
+    pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
+    packed, n_invalid, n_too_long = pack_reads(
+        list(reads.values()), list(reads.keys()), min_len=max_k, pad_len=pad_len
+    )
+    assert n_too_long == 0
+    print("Loading read completed")
+
+    result = quantify(idx, packed, config)
+    print("Sparse chaining completed")
+    print("EM estimation completed")
+    print("Read assignment completed")
+    write_csv(output_path, result)
+    print(f"Output written to {output_path}")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    # Honor JAX_PLATFORMS even when a sitecustomize pre-registered another
+    # backend and overwrote the platform list (e.g. remote-TPU containers).
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backends already initialized; keep whatever is live
+    args = build_parser().parse_args(argv)
+    if args.mode == "index":
+        if len(args.positional) < 2:
+            print("Usage: sketch-rna-tpu index <reference_genome.fasta> <index_output>", file=sys.stderr)
+            return 1
+        config = _config_from_args(args, args.kmer_length)
+        run_index(args.positional[0], args.positional[1], config)
+    elif args.mode == "quant":
+        if len(args.positional) < 3:
+            print("Usage: sketch-rna-tpu quant <index_file> <reads.fastq> <output>", file=sys.stderr)
+            return 1
+        config = _config_from_args(args, args.kmer_length)
+        run_quant(args.positional[0], args.positional[1], args.positional[2], config)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Parser/packing edge cases mirroring reference skip rules
+(SURVEY.md §4: "FASTA/FASTQ parsing incl. the reference's skip rules")."""
+
+import numpy as np
+
+from sketch_rna_tpu.io.fasta import load_fasta
+from sketch_rna_tpu.io.fastq import iter_fastq_records, load_fastq_dict
+from sketch_rna_tpu.io.packing import encode_sequence, is_valid_sequence, pack_reads
+
+
+def test_is_valid_sequence():
+    assert is_valid_sequence("ACGT")
+    assert is_valid_sequence("")  # empty is valid in the reference too
+    assert not is_valid_sequence("ACGTN")
+    assert not is_valid_sequence("acgt")  # lowercase invalid (reference LUT)
+    assert not is_valid_sequence("ACG T")
+    assert not is_valid_sequence("ACGU")
+
+
+def test_encode_sequence():
+    np.testing.assert_array_equal(encode_sequence("ACGT"), [0, 1, 2, 3])
+    assert encode_sequence("ACGN") is None
+
+
+def test_fasta_multiline_and_id_extraction(tmp_path):
+    p = tmp_path / "t.fa"
+    p.write_text(
+        ">tx1 some description here\nACGTACGT\nACGT\n\n"
+        ">tx2\nGGGG\n"
+        ">tx3_bad\nACGTN\n"  # invalid -> dropped (we validate ALL records)
+        ">tx1 duplicate id\nTTTT\n"  # dup header: first wins
+    )
+    recs = load_fasta(str(p))
+    assert recs.names == ["tx1", "tx2"]
+    assert recs.seqs == ["ACGTACGTACGT", "GGGG"]
+    assert recs.n_invalid == 1
+
+
+def test_fasta_last_record_validated(tmp_path):
+    # Reference quirk Q2: last record skips validation; we fix that.
+    p = tmp_path / "t.fa"
+    p.write_text(">a\nACGT\n>b\nNNNN\n")
+    recs = load_fasta(str(p))
+    assert recs.names == ["a"]
+    assert recs.n_invalid == 1
+
+
+def test_fastq_header_heuristic_and_full_id(tmp_path):
+    p = tmp_path / "r.fq"
+    p.write_text(
+        "garbage line\n"
+        "@r1 desc kept in id\nACGT\n+\nIIII\n"
+        "@r2\nGGTT\n+anything\n@@II\n"  # quality starting '@' consumed in-record
+        "@r1 desc kept in id\nTTTT\n+\nIIII\n"  # dup id: LAST wins
+    )
+    recs = list(iter_fastq_records(str(p)))
+    assert [r[0] for r in recs] == ["r1 desc kept in id", "r2", "r1 desc kept in id"]
+    d = load_fastq_dict(str(p))
+    assert d["r1 desc kept in id"] == "TTTT"
+    assert d["r2"] == "GGTT"
+
+
+def test_pack_reads_filters(tmp_path):
+    seqs = ["ACGT" * 10, "ACGTN" + "A" * 40, "ACG", "A" * 50]
+    ids = ["ok", "invalid", "short", "ok2"]
+    packed, n_invalid, n_too_long = pack_reads(seqs, ids, min_len=31, pad_len=64)
+    assert packed.ids == ["ok", "ok2"]
+    assert n_invalid == 2  # invalid chars + too short both counted
+    assert n_too_long == 0
+    assert packed.codes.shape == (2, 64)
+    np.testing.assert_array_equal(packed.lengths, [40, 50])
+    # Padding is zeros past the length.
+    assert (packed.codes[0, 40:] == 0).all()
+
+
+def test_pack_reads_batches():
+    seqs = ["ACGT" * 10] * 5
+    packed, _, _ = pack_reads(seqs, [str(i) for i in range(5)], min_len=4, pad_len=48)
+    batches = list(packed.batches(2))
+    assert len(batches) == 3
+    c, l, off = batches[2]
+    assert c.shape == (2, 48)
+    assert l[1] == 0  # padded row
+    assert off == 4
