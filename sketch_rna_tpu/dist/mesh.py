@@ -1,0 +1,44 @@
+"""Device-mesh helpers.
+
+The framework's two parallel axes (SURVEY.md §2 parallelism inventory):
+  "data"  — reads are embarrassingly parallel (every reference per-read
+            loop: sparse_chain body, E-step body, assignment body);
+  "index" — the k-mer -> postings index is hash-range sharded for large
+            transcriptomes (BASELINE config 4); match events are gathered
+            across this axis before grouping.
+
+The reference has neither (single thread); these are new, TPU-native
+structure.  Collectives ride ICI inside a slice; with
+jax.distributed.initialize() the same code spans hosts over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def mesh_factor(n_devices: int, max_index_shards: int = 2) -> Tuple[int, int]:
+    """Split n devices into (data, index) axis sizes.  Data parallelism
+    dominates (reads are the big dimension); index sharding engages only
+    when there are enough devices to spare."""
+    index = 1
+    if n_devices >= 4 and n_devices % 2 == 0:
+        index = min(max_index_shards, 2)
+    return n_devices // index, index
+
+
+def make_mesh(
+    n_data: int,
+    n_index: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_data * n_index
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.array(devices[:need]).reshape(n_data, n_index)
+    return Mesh(arr, ("data", "index"))

@@ -1,0 +1,197 @@
+"""The full multi-chip quant step: sketch -> match -> EM -> assignment
+under one jitted shard_map over a ("data", "index") mesh.
+
+Per-device flow (SURVEY.md §5 "Distributed communication backend"):
+  1. sketch the local read shard (pure local compute),
+  2. probe + expand match events against the LOCAL hash-range index
+     shard — hashes owned by other shards simply don't match locally,
+  3. all_gather the flat events across the "index" axis (ICI), so every
+     device holds all events for its read shard; per-(read, transcript)
+     counts then merge across index shards exactly (this realizes the
+     cross-shard max/threshold requirement of SURVEY.md §7.4),
+  4. group/threshold into per-read candidate tables (local compute),
+  5. EM: per-transcript posterior sums psum over "data" each iteration —
+     the all-reduce form of the reference's serial accumulation
+     (src/isoform_assignment.cpp:48) — with pi replicated,
+  6. soft assignment with the final pi, again psum over "data".
+
+Outputs (pi, weighted counts, has_entry, iters) are fully replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sketch_rna_tpu.em.em import assign_reads, run_em
+from sketch_rna_tpu.match.candidates import events_to_candidates, expand_events
+from sketch_rna_tpu.sketch.fracminhash import sketch_batch
+
+
+def _body(
+    codes,
+    lengths,
+    keys,
+    row_ptr,
+    postings,
+    num_reads,
+    *,
+    kmer_lengths,
+    sketch_fraction,
+    sketch_caps,
+    chain_fraction,
+    expand_per_read,
+    candidate_capacity,
+    num_transcripts,
+    em_max_iterations,
+    em_convergence,
+    pseudocount,
+    em_epsilon,
+    em_dtype,
+):
+    Bl = codes.shape[0]  # local read rows
+    K = len(kmer_lengths)
+    hashes, masks = [], []
+    for k, cap in zip(kmer_lengths, sketch_caps):
+        h, m, _ = sketch_batch(codes, lengths, k, sketch_fraction, cap)
+        hashes.append(h)
+        masks.append(m)
+
+    # Local index shard: strip the leading shard axis.
+    lkeys = [a[0] for a in keys]
+    lrp = [a[0] for a in row_ptr]
+    lpost = [a[0] for a in postings]
+
+    read_e, tid_e, valid_e, kid_e, drops = expand_events(
+        hashes, masks, lkeys, lrp, lpost, expand_per_read=expand_per_read
+    )
+    # Merge partial events across index shards (ICI all-gather).
+    read_e = jax.lax.all_gather(read_e, "index", tiled=True)
+    tid_e = jax.lax.all_gather(tid_e, "index", tiled=True)
+    valid_e = jax.lax.all_gather(valid_e, "index", tiled=True)
+    kid_e = jax.lax.all_gather(kid_e, "index", tiled=True)
+    # Gathered lanes may carry the local sentinel read id Bl; it stays a
+    # valid sentinel post-gather because every shard uses the same Bl.
+
+    result = events_to_candidates(
+        read_e,
+        tid_e,
+        valid_e,
+        kid_e,
+        num_reads=Bl,
+        num_k=K,
+        chain_fraction=chain_fraction,
+        candidate_capacity=candidate_capacity,
+    )
+
+    # Candidate tables -> flat pairs (no compaction needed on device).
+    C = candidate_capacity
+    pair_read = jnp.repeat(jnp.arange(Bl, dtype=jnp.int32), C)
+    pair_tid = result.tid.reshape(-1)
+    pair_score = jnp.where(result.mask, result.score, 0).reshape(-1)
+
+    pi, iters = run_em(
+        pair_read,
+        pair_tid,
+        pair_score,
+        num_reads,
+        num_transcripts=num_transcripts,
+        read_capacity=Bl,
+        max_iterations=em_max_iterations,
+        convergence_threshold=em_convergence,
+        pseudocount=pseudocount,
+        epsilon=em_epsilon,
+        dtype=em_dtype,
+        axis_name="data",
+    )
+    weighted, has_entry = assign_reads(
+        pair_read,
+        pair_tid,
+        pair_score,
+        pi,
+        num_transcripts=num_transcripts,
+        read_capacity=Bl,
+        dtype=em_dtype,
+        axis_name="data",
+    )
+    stats = {
+        "expand_dropped": jax.lax.psum(
+            jax.lax.psum(jnp.stack(drops), "index"), "data"
+        ),
+        "candidate_spilled": jax.lax.psum(result.stats["candidate_spilled"], "data"),
+    }
+    return pi, weighted, has_entry, iters, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "kmer_lengths",
+        "sketch_fraction",
+        "sketch_caps",
+        "chain_fraction",
+        "expand_per_read",
+        "candidate_capacity",
+        "num_transcripts",
+        "em_max_iterations",
+        "em_convergence",
+        "pseudocount",
+        "em_epsilon",
+        "em_dtype",
+    ),
+)
+def quant_step_sharded(
+    codes: jnp.ndarray,  # [B, L] uint8, B divisible by mesh data size
+    lengths: jnp.ndarray,  # [B] int32
+    keys: Tuple[jnp.ndarray, ...],  # per-k [n_index, U_pad] uint32
+    row_ptr: Tuple[jnp.ndarray, ...],  # per-k [n_index, U_pad+1] int32
+    postings: Tuple[jnp.ndarray, ...],  # per-k [n_index, P_pad] int32
+    num_reads: jnp.ndarray,  # [] int32 global R
+    *,
+    mesh: Mesh,
+    kmer_lengths: Tuple[int, ...],
+    sketch_fraction: float,
+    sketch_caps: Tuple[int, ...],
+    chain_fraction: float,
+    expand_per_read: int,
+    candidate_capacity: int,
+    num_transcripts: int,
+    em_max_iterations: int = 20,
+    em_convergence: float = 0.01,
+    pseudocount: float = 0.01,
+    em_epsilon: float = 1e-10,
+    em_dtype: str = "float32",
+):
+    body = partial(
+        _body,
+        kmer_lengths=kmer_lengths,
+        sketch_fraction=sketch_fraction,
+        sketch_caps=sketch_caps,
+        chain_fraction=chain_fraction,
+        expand_per_read=expand_per_read,
+        candidate_capacity=candidate_capacity,
+        num_transcripts=num_transcripts,
+        em_max_iterations=em_max_iterations,
+        em_convergence=em_convergence,
+        pseudocount=pseudocount,
+        em_epsilon=em_epsilon,
+        em_dtype=em_dtype,
+    )
+    K = len(kmer_lengths)
+    in_specs = (
+        P("data", None),  # codes
+        P("data"),  # lengths
+        tuple(P("index", None) for _ in range(K)),  # keys
+        tuple(P("index", None) for _ in range(K)),  # row_ptr
+        tuple(P("index", None) for _ in range(K)),  # postings
+        P(),  # num_reads
+    )
+    out_specs = (P(), P(), P(), P(), {"expand_dropped": P(), "candidate_spilled": P()})
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )(codes, lengths, keys, row_ptr, postings, num_reads)

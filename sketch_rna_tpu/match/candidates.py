@@ -58,26 +58,26 @@ def _fraction_compare_params(fraction: float) -> Tuple[int, int]:
     return 0, 0
 
 
-def match_batch(
+def expand_events(
     sketch_hashes: Sequence[jnp.ndarray],
     sketch_masks: Sequence[jnp.ndarray],
     index_keys: Sequence[jnp.ndarray],
     index_row_ptr: Sequence[jnp.ndarray],
     index_postings: Sequence[jnp.ndarray],
     *,
-    chain_fraction: float,
     expand_per_read: int,
-    candidate_capacity: int,
-) -> MatchResult:
-    """Match one read batch against the (replicated) index.
+):
+    """Steps 1 of match_batch: per-k probe + ragged expansion into flat
+    (read, tid, k) match events.  Factored out so the index-sharded path
+    can all_gather events across index shards before grouping
+    (dist/quant_sharded.py).
 
-    sketch_hashes/masks: per-k [B, S_k] sketches (sketch/fracminhash.py).
-    index_*: per-k CSR arrays (index/artifact.py), keys padded non-empty.
+    Returns (read_e, tid_e, valid_e, kid_e, drops) — each [K*E] except
+    drops, a length-K list of scalars.
     """
     K = len(sketch_hashes)
     assert K == len(index_keys) == len(index_row_ptr) == len(index_postings)
     B = sketch_hashes[0].shape[0]
-    C = candidate_capacity
     E = B * expand_per_read
 
     read_parts, tid_parts, valid_parts, kid_parts, drops = [], [], [], [], []
@@ -92,11 +92,32 @@ def match_batch(
         kid_parts.append(jnp.full(E, ki, dtype=jnp.int32))
         drops.append(d)
 
-    read_e = jnp.concatenate(read_parts)
-    tid_e = jnp.concatenate(tid_parts)
-    valid_e = jnp.concatenate(valid_parts)
-    kid_e = jnp.concatenate(kid_parts)
-    F = K * E
+    return (
+        jnp.concatenate(read_parts),
+        jnp.concatenate(tid_parts),
+        jnp.concatenate(valid_parts),
+        jnp.concatenate(kid_parts),
+        drops,
+    )
+
+
+def events_to_candidates(
+    read_e: jnp.ndarray,
+    tid_e: jnp.ndarray,
+    valid_e: jnp.ndarray,
+    kid_e: jnp.ndarray,
+    *,
+    num_reads: int,
+    num_k: int,
+    chain_fraction: float,
+    candidate_capacity: int,
+) -> MatchResult:
+    """Steps 2-5 of match_batch: group flat events by (read, transcript),
+    count per k, threshold, and build per-read top-C tables."""
+    B = num_reads
+    K = num_k
+    C = candidate_capacity
+    F = read_e.shape[0]
 
     # ---- group events by (read, tid): one lexicographic sort ----------
     # Invalid events carry read B / tid 0 and collapse into one tail run.
@@ -169,7 +190,44 @@ def match_batch(
         indices_are_sorted=True,
     )[:B]
     stats = {
-        "expand_dropped": jnp.stack(drops),
         "candidate_spilled": jnp.sum(jnp.maximum(cand_per_read - C, 0)),
     }
     return MatchResult(tid=tbl_tid, score=tbl_score, mask=tbl_mask, stats=stats)
+
+
+def match_batch(
+    sketch_hashes: Sequence[jnp.ndarray],
+    sketch_masks: Sequence[jnp.ndarray],
+    index_keys: Sequence[jnp.ndarray],
+    index_row_ptr: Sequence[jnp.ndarray],
+    index_postings: Sequence[jnp.ndarray],
+    *,
+    chain_fraction: float,
+    expand_per_read: int,
+    candidate_capacity: int,
+) -> MatchResult:
+    """Match one read batch against a fully local (replicated) index.
+
+    sketch_hashes/masks: per-k [B, S_k] sketches (sketch/fracminhash.py).
+    index_*: per-k CSR arrays (index/artifact.py), keys padded non-empty.
+    """
+    read_e, tid_e, valid_e, kid_e, drops = expand_events(
+        sketch_hashes,
+        sketch_masks,
+        index_keys,
+        index_row_ptr,
+        index_postings,
+        expand_per_read=expand_per_read,
+    )
+    result = events_to_candidates(
+        read_e,
+        tid_e,
+        valid_e,
+        kid_e,
+        num_reads=sketch_hashes[0].shape[0],
+        num_k=len(sketch_hashes),
+        chain_fraction=chain_fraction,
+        candidate_capacity=candidate_capacity,
+    )
+    result.stats["expand_dropped"] = jnp.stack(drops)
+    return result

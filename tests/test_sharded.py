@@ -1,0 +1,96 @@
+"""Multi-device sharded quant on the virtual 8-CPU mesh vs the
+single-device pipeline: identical pi / counts / CSV membership
+(SURVEY.md §4 "Multi-host without a cluster")."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sketch_rna_tpu.config import QuantConfig
+from sketch_rna_tpu.dist.mesh import make_mesh, mesh_factor
+from sketch_rna_tpu.dist.quant_sharded import quant_step_sharded
+from sketch_rna_tpu.index.build import build_index
+from sketch_rna_tpu.index.shard import shard_index_arrays
+from sketch_rna_tpu.io.fasta import FastaRecords
+from sketch_rna_tpu.io.packing import PackedReads
+from sketch_rna_tpu.pipeline import quantify
+
+from util import decode, make_transcriptome, sample_reads
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(99)
+    seqs = make_transcriptome(rng, n=14, len_range=(60, 400))
+    names = [f"T{i:03d}" for i in range(len(seqs))]
+    recs = FastaRecords(names, [decode(s) for s in seqs], 0)
+    ks = (21, 31)
+    cfg = QuantConfig(
+        kmer_lengths=ks, batch_size=128, max_read_len=128, em_dtype="float64",
+        expand_per_read=128, candidate_capacity=32,
+    )
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=120, read_len=100) if r.size >= 31]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lengths = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lengths[i] = r.size
+    packed = PackedReads(codes, lengths, [f"r{i}" for i in range(len(reads))])
+    return cfg, idx, packed
+
+
+def test_mesh_factor():
+    assert mesh_factor(8) == (4, 2)
+    assert mesh_factor(2) == (2, 1)
+    assert mesh_factor(1) == (1, 1)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (8, 1), (2, 2)])
+def test_sharded_matches_single_device(problem, shape):
+    cfg, idx, packed = problem
+    dp, ip = shape
+    if dp * ip > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = make_mesh(dp, ip)
+
+    # Pad batch rows to a multiple of dp.
+    B = ((packed.num_reads + dp - 1) // dp) * dp
+    codes = np.zeros((B, packed.padded_len), np.uint8)
+    lengths = np.zeros(B, np.int32)
+    codes[: packed.num_reads] = packed.codes
+    lengths[: packed.num_reads] = packed.lengths
+
+    shards = shard_index_arrays(idx, ip)
+    ks = tuple(idx.kmer_lengths)
+    keys = tuple(jnp.asarray(shards[k][0]) for k in ks)
+    row_ptr = tuple(jnp.asarray(shards[k][1]) for k in ks)
+    postings = tuple(jnp.asarray(shards[k][2]) for k in ks)
+    caps = tuple(cfg.sketch_capacity_for(k) for k in ks)
+
+    pi, weighted, has_entry, iters, stats = quant_step_sharded(
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        keys,
+        row_ptr,
+        postings,
+        jnp.asarray(packed.num_reads, jnp.int32),
+        mesh=mesh,
+        kmer_lengths=ks,
+        sketch_fraction=cfg.sketch_fraction,
+        sketch_caps=caps,
+        chain_fraction=cfg.chain_fraction,
+        expand_per_read=cfg.expand_per_read,
+        candidate_capacity=cfg.candidate_capacity,
+        num_transcripts=idx.num_transcripts,
+        em_dtype="float64",
+    )
+
+    ref = quantify(idx, packed, cfg)
+    assert int(stats["expand_dropped"].sum()) == 0
+    assert int(stats["candidate_spilled"]) == 0
+    np.testing.assert_allclose(np.asarray(pi), ref.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(weighted), ref.weighted_counts, rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(has_entry), ref.has_entry)
+    assert int(iters) == ref.em_iterations
