@@ -1,0 +1,330 @@
+// fastio: memory-mapped, multithreaded FASTQ/FASTA parsing + 2-bit packing.
+//
+// Native runtime component of the TPU framework (SURVEY.md §2 native-
+// component ledger: "FASTA/FASTQ parsing -> host-side streaming parser
+// feeding packed device batches").  The reference parses single-threaded
+// with std::getline (src/data_io.cpp:47-117, src/main.cpp:107-151); this
+// implementation keeps its exact record semantics:
+//   - FASTQ: any line starting '@' opens a record; the next three lines
+//     are sequence / '+' separator / quality (src/main.cpp:121-127);
+//     duplicate read IDs (full header after '@') keep the LAST record
+//     (unordered_map overwrite, src/main.cpp:150),
+//   - validation: uppercase A/C/G/T only (src/data_io.cpp:17-34),
+//   - reads shorter than min_len (= max k) are dropped (src/main.cpp:136-138),
+// but scans a memory map and packs base codes (A=0,C=1,G=2,T=3) into the
+// caller's fixed-shape [N, pad_len] uint8 array with a worker pool.
+//
+// C ABI (ctypes-friendly), two-phase:
+//   fastq_open_scan()  -> parse + dedup + filter, return handle & counts
+//   fastq_pack()       -> fill caller-allocated codes/lengths (threaded)
+//   fastq_get_ids()    -> optional concatenated id buffer + offsets
+//   fastq_close()      -> release
+// FASTA equivalents mirror load_fasta (src/data_io.cpp:47-80): ID = header
+// token before first ' ', multi-line sequences, first-duplicate-wins,
+// every record validated (reference quirk Q2 fixed, SURVEY.md §7.1).
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <string_view>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct Record {
+  const char* seq;
+  int64_t seq_len;
+  const char* id;
+  int64_t id_len;
+};
+
+struct Mapped {
+  const char* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+  bool valid = false;
+  bool ok() const { return valid; }
+};
+
+Mapped map_file(const char* path) {
+  Mapped m;
+  m.fd = ::open(path, O_RDONLY);
+  if (m.fd < 0) return m;
+  struct stat st;
+  if (fstat(m.fd, &st) != 0) {
+    ::close(m.fd);
+    m.fd = -1;
+    return m;
+  }
+  m.size = static_cast<size_t>(st.st_size);
+  if (m.size == 0) {
+    m.valid = true;  // empty file: nothing to map, nothing to parse
+    return m;
+  }
+  void* p = ::mmap(nullptr, m.size, PROT_READ, MAP_PRIVATE, m.fd, 0);
+  if (p == MAP_FAILED) {
+    ::close(m.fd);
+    m.fd = -1;
+    return m;
+  }
+  ::madvise(p, m.size, MADV_SEQUENTIAL);
+  m.data = static_cast<const char*>(p);
+  m.valid = true;
+  return m;
+}
+
+void unmap_file(Mapped& m) {
+  if (m.data && m.size) ::munmap(const_cast<char*>(m.data), m.size);
+  if (m.fd >= 0) ::close(m.fd);
+  m.data = nullptr;
+  m.fd = -1;
+}
+
+// Base code LUT: A=0 C=1 G=2 T=3, 255 invalid (uppercase only, like the
+// reference's valid_char table).
+struct Lut {
+  uint8_t v[256];
+  Lut() {
+    memset(v, 255, sizeof(v));
+    v[uint8_t('A')] = 0;
+    v[uint8_t('C')] = 1;
+    v[uint8_t('G')] = 2;
+    v[uint8_t('T')] = 3;
+  }
+};
+const Lut kLut;
+
+struct FastqHandle {
+  Mapped map;
+  std::vector<Record> records;  // post-dedup, post-filter, file order
+  int64_t n_seen = 0;           // records parsed (pre-filter)
+  int64_t n_invalid = 0;        // dropped: bad chars or too short
+  int64_t max_len = 0;
+};
+
+inline std::string_view next_line(const char* data, size_t size, size_t& pos) {
+  if (pos >= size) return {};
+  size_t start = pos;
+  const char* nl = static_cast<const char*>(memchr(data + pos, '\n', size - pos));
+  size_t end = nl ? static_cast<size_t>(nl - data) : size;
+  pos = end + 1;
+  return std::string_view(data + start, end - start);
+}
+
+bool validate_seq(const char* s, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (kLut.v[static_cast<uint8_t>(s[i])] == 255) return false;
+  }
+  return true;
+}
+
+int pack_threaded(const std::vector<Record>& records, int64_t pad_len,
+                  uint8_t* codes, int32_t* lengths, int n_threads) {
+  const int64_t n = static_cast<int64_t>(records.size());
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const Record& r = records[i];
+      uint8_t* out = codes + i * pad_len;
+      const char* s = r.seq;
+      int64_t len = r.seq_len < pad_len ? r.seq_len : pad_len;
+      for (int64_t j = 0; j < len; ++j) out[j] = kLut.v[static_cast<uint8_t>(s[j])];
+      if (len < pad_len) memset(out + len, 0, static_cast<size_t>(pad_len - len));
+      lengths[i] = static_cast<int32_t>(len);
+    }
+  };
+  if (n_threads == 1 || n < 4096) {
+    worker(0, n);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t lo = t * chunk;
+      int64_t hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      pool.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------- FASTQ ---
+
+// Parse + validate + length-filter + last-wins dedup.  Returns handle or
+// null.  Outputs: n_valid records, n_seen, n_invalid, max kept length.
+void* fastq_open_scan(const char* path, int64_t min_len, int64_t* n_valid,
+                      int64_t* n_seen, int64_t* n_invalid, int64_t* max_len) {
+  auto* h = new FastqHandle();
+  h->map = map_file(path);
+  if (!h->map.ok()) {
+    delete h;
+    return nullptr;
+  }
+  const char* data = h->map.data;
+  const size_t size = h->map.size;
+  size_t pos = 0;
+  // id -> slot for last-wins dedup (string_view into the map).
+  std::unordered_map<std::string_view, int64_t> by_id;
+  std::vector<Record> recs;
+  while (pos < size) {
+    std::string_view line = next_line(data, size, pos);
+    if (line.empty() || line[0] != '@') continue;
+    std::string_view id = line.substr(1);
+    std::string_view seq = next_line(data, size, pos);
+    (void)next_line(data, size, pos);  // '+'
+    (void)next_line(data, size, pos);  // quality
+    h->n_seen++;
+    if (static_cast<int64_t>(seq.size()) < min_len ||
+        !validate_seq(seq.data(), static_cast<int64_t>(seq.size()))) {
+      h->n_invalid++;
+      // Reference still overwrites the map slot only for VALID reads
+      // (invalid reads never reach read_sketches); keep that.
+      continue;
+    }
+    Record r{seq.data(), static_cast<int64_t>(seq.size()), id.data(),
+             static_cast<int64_t>(id.size())};
+    auto it = by_id.find(id);
+    if (it != by_id.end()) {
+      recs[it->second] = r;  // last occurrence wins (src/main.cpp:150)
+    } else {
+      by_id.emplace(id, static_cast<int64_t>(recs.size()));
+      recs.push_back(r);
+    }
+  }
+  for (const Record& r : recs)
+    if (r.seq_len > h->max_len) h->max_len = r.seq_len;
+  h->records = std::move(recs);
+  *n_valid = static_cast<int64_t>(h->records.size());
+  *n_seen = h->n_seen;
+  *n_invalid = h->n_invalid;
+  *max_len = h->max_len;
+  return h;
+}
+
+// Fill caller-allocated codes [n_valid, pad_len] and lengths [n_valid].
+int fastq_pack(void* handle, int64_t pad_len, uint8_t* codes, int32_t* lengths,
+               int n_threads) {
+  auto* h = static_cast<FastqHandle*>(handle);
+  if (!h) return -1;
+  return pack_threaded(h->records, pad_len, codes, lengths, n_threads);
+}
+
+// Total bytes needed for the concatenated id buffer.
+int64_t fastq_ids_size(void* handle) {
+  auto* h = static_cast<FastqHandle*>(handle);
+  int64_t total = 0;
+  for (const Record& r : h->records) total += r.id_len;
+  return total;
+}
+
+// Fill ids buffer + offsets [n_valid + 1].
+int fastq_get_ids(void* handle, char* buf, int64_t* offsets) {
+  auto* h = static_cast<FastqHandle*>(handle);
+  int64_t off = 0;
+  int64_t i = 0;
+  for (const Record& r : h->records) {
+    offsets[i++] = off;
+    memcpy(buf + off, r.id, static_cast<size_t>(r.id_len));
+    off += r.id_len;
+  }
+  offsets[i] = off;
+  return 0;
+}
+
+void fastq_close(void* handle) {
+  auto* h = static_cast<FastqHandle*>(handle);
+  if (!h) return;
+  unmap_file(h->map);
+  delete h;
+}
+
+// ---------------------------------------------------------------- FASTA ---
+
+struct FastaHandle {
+  Mapped map;
+  std::vector<std::string> names;
+  std::vector<std::string> seqs;  // concatenated multi-line sequences
+  int64_t n_invalid = 0;
+};
+
+void* fasta_open_scan(const char* path, int64_t* n_records, int64_t* n_invalid) {
+  auto* h = new FastaHandle();
+  h->map = map_file(path);
+  if (!h->map.ok()) {
+    delete h;
+    return nullptr;
+  }
+  const char* data = h->map.data;
+  const size_t size = h->map.size;
+  size_t pos = 0;
+  std::unordered_map<std::string_view, int64_t> by_id;
+  std::string cur_id;
+  std::string cur_seq;
+  auto flush = [&]() {
+    if (cur_id.empty()) return;
+    if (!validate_seq(cur_seq.data(), static_cast<int64_t>(cur_seq.size()))) {
+      h->n_invalid++;
+      return;
+    }
+    std::string_view key(cur_id);
+    if (by_id.find(key) != by_id.end()) return;  // first wins
+    h->names.push_back(cur_id);
+    h->seqs.push_back(cur_seq);
+    by_id.emplace(std::string_view(h->names.back()), 1);
+  };
+  while (pos < size) {
+    std::string_view line = next_line(data, size, pos);
+    if (line.empty()) continue;
+    if (line[0] == '>') {
+      flush();
+      std::string_view rest = line.substr(1);
+      size_t sp = rest.find(' ');
+      cur_id.assign(sp == std::string_view::npos ? rest : rest.substr(0, sp));
+      cur_seq.clear();
+    } else {
+      cur_seq.append(line.data(), line.size());
+    }
+  }
+  flush();
+  *n_records = static_cast<int64_t>(h->names.size());
+  *n_invalid = h->n_invalid;
+  return h;
+}
+
+int64_t fasta_seq_len(void* handle, int64_t i) {
+  auto* h = static_cast<FastaHandle*>(handle);
+  return static_cast<int64_t>(h->seqs[i].size());
+}
+
+int64_t fasta_name_len(void* handle, int64_t i) {
+  auto* h = static_cast<FastaHandle*>(handle);
+  return static_cast<int64_t>(h->names[i].size());
+}
+
+int fasta_get(void* handle, int64_t i, char* name_buf, char* seq_buf) {
+  auto* h = static_cast<FastaHandle*>(handle);
+  memcpy(name_buf, h->names[i].data(), h->names[i].size());
+  memcpy(seq_buf, h->seqs[i].data(), h->seqs[i].size());
+  return 0;
+}
+
+void fasta_close(void* handle) {
+  auto* h = static_cast<FastaHandle*>(handle);
+  if (!h) return;
+  unmap_file(h->map);
+  delete h;
+}
+
+}  // extern "C"

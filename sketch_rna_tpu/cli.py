@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--expand-per-read", type=int, default=256)
     p.add_argument("--em-dtype", choices=["float32", "float64"], default=None,
                    help="default: float64 on CPU backend, float32 on TPU")
+    p.add_argument("--no-native", action="store_true",
+                   help="disable the native (C++) FASTQ parser")
     return p
 
 
@@ -101,7 +103,13 @@ def run_index(ref_fasta: str, index_out: str, config: QuantConfig) -> None:
     print(f"Index saved to {index_out}")
 
 
-def run_quant(index_path: str, reads_path: str, output_path: str, config: QuantConfig) -> None:
+def run_quant(
+    index_path: str,
+    reads_path: str,
+    output_path: str,
+    config: QuantConfig,
+    use_native: bool = True,
+) -> None:
     from sketch_rna_tpu.index.artifact import load_index
     from sketch_rna_tpu.io.fastq import load_fastq_dict
     from sketch_rna_tpu.io.packing import pack_reads
@@ -112,17 +120,34 @@ def run_quant(index_path: str, reads_path: str, output_path: str, config: QuantC
     # Quirk Q1: the index's k-mer lengths win over CLI -k.
     config = dataclasses.replace(config, kmer_lengths=tuple(idx.kmer_lengths))
 
-    reads = load_fastq_dict(reads_path)
     max_k = max(idx.kmer_lengths)
-    # The reference processes reads of any length (src/main.cpp:107-151);
-    # grow the pad width beyond the configured default if needed so no
-    # valid read is dropped (rounded up to a lane-friendly multiple).
-    longest = max((len(s) for s in reads.values()), default=0)
-    pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
-    packed, n_invalid, n_too_long = pack_reads(
-        list(reads.values()), list(reads.keys()), min_len=max_k, pad_len=pad_len
-    )
-    assert n_too_long == 0
+    packed = None
+    if use_native:
+        from sketch_rna_tpu.io import native
+
+        if native.native_available():
+            # Native path: mmap + threaded validation/packing; the pad
+            # width grows to the longest kept read so none are dropped.
+            packed, _stats = native.pack_fastq_native(reads_path, min_len=max_k)
+            longest = _stats["max_len"]
+            pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
+            if packed.padded_len < pad_len:
+                import numpy as np
+
+                grown = np.zeros((packed.num_reads, pad_len), np.uint8)
+                grown[:, : packed.padded_len] = packed.codes
+                packed.codes = grown
+    if packed is None:
+        reads = load_fastq_dict(reads_path)
+        # The reference processes reads of any length (src/main.cpp:107-151);
+        # grow the pad width beyond the configured default if needed so no
+        # valid read is dropped (rounded up to a lane-friendly multiple).
+        longest = max((len(s) for s in reads.values()), default=0)
+        pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
+        packed, n_invalid, n_too_long = pack_reads(
+            list(reads.values()), list(reads.keys()), min_len=max_k, pad_len=pad_len
+        )
+        assert n_too_long == 0
     print("Loading read completed")
 
     result = quantify(idx, packed, config)
@@ -157,7 +182,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("Usage: sketch-rna-tpu quant <index_file> <reads.fastq> <output>", file=sys.stderr)
             return 1
         config = _config_from_args(args, args.kmer_length)
-        run_quant(args.positional[0], args.positional[1], args.positional[2], config)
+        run_quant(
+            args.positional[0],
+            args.positional[1],
+            args.positional[2],
+            config,
+            use_native=not args.no_native,
+        )
     return 0
 
 

@@ -1,0 +1,196 @@
+"""ctypes bindings to the native fastio library (native/fastio.cpp).
+
+Builds the shared library on demand (make) and exposes drop-in
+replacements for the Python parsers:
+  pack_fastq_native(path, min_len, pad_len) -> (PackedReads, stats)
+  load_fasta_native(path)                   -> FastaRecords
+
+Falls back are the callers' responsibility: native_available() gates use,
+and the pure-Python parsers in io/fasta.py, io/fastq.py remain the
+semantic reference (tests assert both agree).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sketch_rna_tpu.io.fasta import FastaRecords
+from sketch_rna_tpu.io.packing import PackedReads
+
+log = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libfastio.so")
+
+_lib_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO_PATH):
+            src = os.path.join(_NATIVE_DIR, "fastio.cpp")
+            if not os.path.exists(src):
+                _build_failed = True
+                return None
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=300,
+                )
+            except Exception as e:  # compiler missing, etc.
+                log.warning("native fastio build failed (%s); using Python parsers", e)
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError as e:
+            log.warning("native fastio load failed (%s)", e)
+            _build_failed = True
+            return None
+        lib.fastq_open_scan.restype = ctypes.c_void_p
+        lib.fastq_open_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fastq_pack.restype = ctypes.c_int
+        lib.fastq_pack.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        lib.fastq_ids_size.restype = ctypes.c_int64
+        lib.fastq_ids_size.argtypes = [ctypes.c_void_p]
+        lib.fastq_get_ids.restype = ctypes.c_int
+        lib.fastq_get_ids.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fastq_close.restype = None
+        lib.fastq_close.argtypes = [ctypes.c_void_p]
+        lib.fasta_open_scan.restype = ctypes.c_void_p
+        lib.fasta_open_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fasta_seq_len.restype = ctypes.c_int64
+        lib.fasta_seq_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.fasta_name_len.restype = ctypes.c_int64
+        lib.fasta_name_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.fasta_get.restype = ctypes.c_int
+        lib.fasta_get.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p]
+        lib.fasta_close.restype = None
+        lib.fasta_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def pack_fastq_native(
+    path: str,
+    min_len: int,
+    pad_len: Optional[int] = None,
+    n_threads: Optional[int] = None,
+    with_ids: bool = False,
+) -> Tuple[PackedReads, dict]:
+    """Parse+filter+pack a FASTQ with the native library.
+
+    Semantics identical to load_fastq_dict + pack_reads (tests assert it):
+    header-'@' heuristic, uppercase-ACGT validation, min_len filter,
+    last-wins duplicate IDs.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native fastio unavailable")
+    n_valid = ctypes.c_int64()
+    n_seen = ctypes.c_int64()
+    n_invalid = ctypes.c_int64()
+    max_len = ctypes.c_int64()
+    h = lib.fastq_open_scan(
+        path.encode(), min_len, ctypes.byref(n_valid), ctypes.byref(n_seen),
+        ctypes.byref(n_invalid), ctypes.byref(max_len),
+    )
+    if not h:
+        raise FileNotFoundError(f"Could not open FASTQ file: {path}")
+    try:
+        n = n_valid.value
+        L = pad_len if pad_len is not None else max(int(max_len.value), min_len)
+        codes = np.zeros((n, L), dtype=np.uint8)
+        lengths = np.zeros(n, dtype=np.int32)
+        if n:
+            nt = n_threads or min(os.cpu_count() or 1, 16)
+            rc = lib.fastq_pack(
+                h,
+                L,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                nt,
+            )
+            if rc != 0:
+                raise RuntimeError("fastq_pack failed")
+        ids: Optional[list] = None
+        if with_ids and n:
+            size = lib.fastq_ids_size(h)
+            buf = ctypes.create_string_buffer(int(size))
+            offs = np.zeros(n + 1, dtype=np.int64)
+            lib.fastq_get_ids(h, buf, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            raw = buf.raw
+            ids = [raw[offs[i] : offs[i + 1]].decode() for i in range(n)]
+        stats = {
+            "n_seen": int(n_seen.value),
+            "n_invalid": int(n_invalid.value),
+            "max_len": int(max_len.value),
+        }
+        return PackedReads(codes, lengths, ids if ids is not None else [str(i) for i in range(n)]), stats
+    finally:
+        lib.fastq_close(h)
+
+
+def load_fasta_native(path: str) -> FastaRecords:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native fastio unavailable")
+    n_records = ctypes.c_int64()
+    n_invalid = ctypes.c_int64()
+    h = lib.fasta_open_scan(path.encode(), ctypes.byref(n_records), ctypes.byref(n_invalid))
+    if not h:
+        raise FileNotFoundError(f"Could not open FASTA file: {path}")
+    try:
+        names, seqs = [], []
+        for i in range(n_records.value):
+            nl = lib.fasta_name_len(h, i)
+            sl = lib.fasta_seq_len(h, i)
+            nb = ctypes.create_string_buffer(int(nl))
+            sb = ctypes.create_string_buffer(int(sl))
+            lib.fasta_get(h, i, nb, sb)
+            names.append(nb.raw.decode())
+            seqs.append(sb.raw.decode())
+        return FastaRecords(names, seqs, int(n_invalid.value))
+    finally:
+        lib.fasta_close(h)

@@ -1,0 +1,79 @@
+"""Native (C++) parser vs Python reference parsers: identical results on
+normal data and edge cases; throughput sanity."""
+
+import numpy as np
+import pytest
+
+from sketch_rna_tpu.io.fasta import load_fasta
+from sketch_rna_tpu.io.fastq import load_fastq_dict
+from sketch_rna_tpu.io.packing import pack_reads
+from sketch_rna_tpu.io import native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native fastio not built"
+)
+
+
+def write(p, text):
+    p.write_text(text)
+    return str(p)
+
+
+def test_fastq_native_matches_python(tmp_path):
+    path = write(
+        tmp_path / "r.fq",
+        "junk\n"
+        "@r1 with description\nACGTACGTACGT\n+\nIIIIIIIIIIII\n"
+        "@r2\nACGTNACGTACG\n+\nIIIIIIIIIIII\n"  # invalid
+        "@r3\nACG\n+\nIII\n"  # too short
+        "@r1 with description\nTTTTACGTACGT\n+\nIIIIIIIIIIII\n"  # dup: last wins
+        "@r4\nGGGGCCCCAAAA\n+\nIIIIIIIIIIII\n",
+    )
+    packed, stats = native.pack_fastq_native(path, min_len=8, pad_len=16, with_ids=True)
+
+    d = load_fastq_dict(path)
+    keep = {k: v for k, v in d.items() if len(v) >= 8 and set(v) <= set("ACGT")}
+    py_packed, _, _ = pack_reads(list(keep.values()), list(keep.keys()), min_len=8, pad_len=16)
+
+    assert packed.ids == py_packed.ids
+    np.testing.assert_array_equal(packed.lengths, py_packed.lengths)
+    np.testing.assert_array_equal(packed.codes, py_packed.codes)
+    assert stats["n_seen"] == 5
+    assert stats["n_invalid"] == 2
+
+
+def test_fasta_native_matches_python(tmp_path):
+    path = write(
+        tmp_path / "t.fa",
+        ">tx1 desc\nACGTACGT\nACGT\n\n>tx2\nGGGG\n>bad\nACGTN\n>tx1 dup\nTTTT\n",
+    )
+    a = native.load_fasta_native(path)
+    b = load_fasta(path)
+    assert a.names == b.names
+    assert a.seqs == b.seqs
+    assert a.n_invalid == b.n_invalid
+
+
+def test_fastq_native_random_large(tmp_path, rng):
+    n = 5000
+    lines = []
+    for i in range(n):
+        ln = int(rng.integers(40, 200))
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=ln))
+        lines.append(f"@read{i}\n{seq}\n+\n{'I' * ln}\n")
+    path = write(tmp_path / "big.fq", "".join(lines))
+    packed, stats = native.pack_fastq_native(path, min_len=31, with_ids=True)
+
+    d = load_fastq_dict(path)
+    keep = {k: v for k, v in d.items() if len(v) >= 31}
+    py_packed, _, _ = pack_reads(
+        list(keep.values()), list(keep.keys()), min_len=31, pad_len=packed.padded_len
+    )
+    assert packed.ids == py_packed.ids
+    np.testing.assert_array_equal(packed.codes, py_packed.codes)
+    np.testing.assert_array_equal(packed.lengths, py_packed.lengths)
+
+
+def test_fastq_native_missing_file():
+    with pytest.raises(FileNotFoundError):
+        native.pack_fastq_native("/nonexistent/x.fq", min_len=31)
