@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sketch_rna_tpu.em.em import assign_reads, run_em
-from sketch_rna_tpu.match.candidates import events_to_candidates, expand_events
+from sketch_rna_tpu.match.rowmatch import row_events_to_candidates, row_expand_events
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
 
 
@@ -66,23 +66,28 @@ def _body(
     lrp = [a[0] for a in row_ptr]
     lpost = [a[0] for a in postings]
 
-    read_e, tid_e, valid_e, kid_e, drops = expand_events(
-        hashes, masks, lkeys, lrp, lpost, expand_per_read=expand_per_read
-    )
-    # Merge partial events across index shards (ICI all-gather).
-    read_e = jax.lax.all_gather(read_e, "index", tiled=True)
-    tid_e = jax.lax.all_gather(tid_e, "index", tiled=True)
-    valid_e = jax.lax.all_gather(valid_e, "index", tiled=True)
-    kid_e = jax.lax.all_gather(kid_e, "index", tiled=True)
-    # Gathered lanes may carry the local sentinel read id Bl; it stays a
-    # valid sentinel post-gather because every shard uses the same Bl.
+    parts, drops = [], []
+    for ki in range(K):
+        key, d = row_expand_events(
+            hashes[ki],
+            masks[ki],
+            lkeys[ki],
+            lrp[ki],
+            lpost[ki],
+            events_per_read=expand_per_read,
+            k_index=ki,
+            num_k=K,
+        )
+        parts.append(key)
+        drops.append(d)
+    keym = jnp.concatenate(parts, axis=1)  # [Bl, K*Epr] local events
+    # Merge partial events across index shards: gather along the LANE
+    # axis (each shard contributes events for its hash range; the row
+    # sort inside grouping interleaves them exactly).
+    keym = jax.lax.all_gather(keym, "index", axis=1, tiled=True)
 
-    result = events_to_candidates(
-        read_e,
-        tid_e,
-        valid_e,
-        kid_e,
-        num_reads=Bl,
+    result = row_events_to_candidates(
+        keym,
         num_k=K,
         chain_fraction=chain_fraction,
         candidate_capacity=candidate_capacity,

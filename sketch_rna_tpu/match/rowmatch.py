@@ -1,0 +1,219 @@
+"""Row-parallel candidate matching — the TPU speed-of-light path.
+
+Semantically identical to match/candidates.py (the reference's
+sparse_chain, src/sparse_chaining.cpp:29-115; equality asserted in
+tests/test_rowmatch.py) but shaped for the VPU:
+
+  - posting expansion is PER-READ into a fixed [B, Epr] event window,
+    with the owning sketch-slot found by an unrolled in-row binary search
+    over the per-read length cumsum (take_along_axis on [B, S] tables) —
+    no global 2M-lane searchsorted,
+  - (read, transcript, k) grouping is a ROW sort of packed int32 keys
+    (tid*K + k) — 256-lane independent row sorts instead of one global
+    multi-operand sort: ~6x fewer comparator passes and no cross-row
+    data movement,
+  - per-(tid,k) counts, per-read per-k maxima, per-tid forall-k
+    threshold and score all reduce along rows with cummax/cumsum/
+    take_along_axis — zero scatters,
+  - the per-read top-C candidate table is one more row sort + slice.
+
+Measured on v5e: the global-sort path runs ~885 ms per 8192x150 bp batch;
+this path replaces its two dominant costs (ragged expand 373 ms,
+grouping 440 ms) with row-local work.
+
+The only capacity difference vs candidates.py: the expansion budget is
+per read per k (events_per_read) rather than a batch-global pool; spills
+are counted per batch, never silent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sketch_rna_tpu.match.candidates import MatchResult, _fraction_compare_params
+from sketch_rna_tpu.match.lookup import lookup_postings
+
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def row_expand_events(
+    hashes: jnp.ndarray,
+    mask: jnp.ndarray,
+    keys: jnp.ndarray,
+    row_ptr: jnp.ndarray,
+    postings: jnp.ndarray,
+    *,
+    events_per_read: int,
+    k_index: int,
+    num_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand one k's posting events into per-read lanes.
+
+    Returns (key [B, Epr] int32 packed tid*K + k_index, sentinel-filled;
+             n_dropped [] int32 events past the per-read budget).
+    """
+    B, S = hashes.shape
+    Epr = events_per_read
+    P = postings.shape[0]
+    start, length = lookup_postings(hashes, mask, keys, row_ptr)
+
+    cum = jnp.cumsum(length, axis=1)  # [B, S] inclusive
+    total = cum[:, -1:]  # [B, 1]
+    Sp = _next_pow2(S)
+    pad = jnp.full((B, Sp - S), jnp.int32(1 << 30), jnp.int32)
+    cum_p = jnp.concatenate([cum, pad], axis=1) if Sp > S else cum
+
+    j = jnp.arange(Epr, dtype=jnp.int32)[None, :]  # [1, Epr]
+    # slot = count of cumsum entries <= j  (first slot with cum > j).
+    slot = jnp.zeros((B, Epr), jnp.int32)
+    step = Sp >> 1
+    while step:
+        nxt = slot + step
+        cval = jnp.take_along_axis(cum_p, jnp.minimum(nxt - 1, Sp - 1), axis=1)
+        slot = jnp.where((nxt <= Sp) & (cval <= j), nxt, slot)
+        step >>= 1
+    slot_c = jnp.minimum(slot, S - 1)
+    run_begin = jnp.where(
+        slot > 0, jnp.take_along_axis(cum_p, jnp.maximum(slot - 1, 0), axis=1), 0
+    )
+    valid = j < total
+    p_idx = jnp.take_along_axis(start, slot_c, axis=1) + (j - run_begin)
+    p_idx = jnp.clip(p_idx, 0, P - 1)
+    tid_ev = postings[p_idx]  # [B, Epr] gather
+    key = jnp.where(valid, tid_ev * num_k + k_index, _I32_MAX)
+    n_dropped = jnp.sum(jnp.maximum(total[:, 0] - Epr, 0))
+    return key, n_dropped
+
+
+def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
+    return jnp.concatenate([jnp.full((x.shape[0], 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+
+def _shift_left(x: jnp.ndarray, fill) -> jnp.ndarray:
+    return jnp.concatenate([x[:, 1:], jnp.full((x.shape[0], 1), fill, x.dtype)], axis=1)
+
+
+def row_events_to_candidates(
+    keym: jnp.ndarray,
+    *,
+    num_k: int,
+    chain_fraction: float,
+    candidate_capacity: int,
+) -> MatchResult:
+    """Group packed event keys row-wise into per-read top-C candidates.
+
+    keym: [B, W] int32 packed keys tid*K + k (sentinel INT32_MAX), any
+    lane order (sorted here).
+    """
+    B, W = keym.shape
+    K = num_k
+    C = candidate_capacity
+
+    keym = jnp.sort(keym, axis=-1)
+    i_idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
+    valid = keym != _I32_MAX
+    prev = _shift_right(keym, jnp.int32(-1))
+    nxt = _shift_left(keym, _I32_MAX - 1)
+    is_start = valid & (keym != prev)
+    is_end = valid & (keym != nxt)
+
+    # Count of each (tid, k) run, available at its END lane.
+    start_pos = jax.lax.cummax(jnp.where(is_start, i_idx, -1), axis=1)
+    cnt_end = i_idx - start_pos + 1
+
+    tid = keym // K
+    kid = keym - tid * K
+
+    p, q = _fraction_compare_params(chain_fraction)
+    maxk: List[jnp.ndarray] = []
+    csk: List[jnp.ndarray] = []
+    for ki in range(K):
+        ck = jnp.where(is_end & (kid == ki), cnt_end, 0)
+        maxk.append(jnp.max(ck, axis=1))  # [B]
+        csk.append(jnp.cumsum(ck, axis=1))  # [B, W] inclusive
+
+    # tid-group boundaries (a tid's <=K runs are adjacent after the sort).
+    tprev = _shift_right(tid, jnp.int32(-1))
+    tnxt = _shift_left(tid, _I32_MAX)
+    is_tstart = valid & (tid != tprev)
+    is_tend = valid & (tid != tnxt)
+    tstart_pos = jax.lax.cummax(jnp.where(is_tstart, i_idx, -1), axis=1)
+
+    meets = is_tend
+    score = jnp.zeros((B, W), jnp.int32)
+    for ki in range(K):
+        base = jnp.where(
+            tstart_pos > 0,
+            jnp.take_along_axis(csk[ki], jnp.maximum(tstart_pos - 1, 0), axis=1),
+            0,
+        )
+        cnt_k = csk[ki] - base  # per-tid count for k, valid at tend lanes
+        if q > 0:
+            ok = cnt_k * q >= maxk[ki][:, None] * p
+        else:
+            ok = cnt_k.astype(jnp.float32) >= jnp.float32(chain_fraction) * maxk[ki][
+                :, None
+            ].astype(jnp.float32)
+        meets = meets & ok
+        score = score + cnt_k
+
+    # Top-C by (score desc, tid asc): one more row sort.
+    big = jnp.int32(W + 2)
+    prim = jnp.where(meets, (W + 1) - score, big)
+    s_prim, s_tid, s_score = jax.lax.sort((prim, tid, score), num_keys=2)
+    tbl_mask = s_prim[:, :C] < big
+    tbl_tid = jnp.where(tbl_mask, s_tid[:, :C], 0)
+    tbl_score = jnp.where(tbl_mask, s_score[:, :C], 0)
+
+    n_cand = jnp.sum(meets.astype(jnp.int32), axis=1)
+    stats = {"candidate_spilled": jnp.sum(jnp.maximum(n_cand - C, 0))}
+    return MatchResult(tid=tbl_tid, score=tbl_score, mask=tbl_mask, stats=stats)
+
+
+def row_match(
+    sketch_hashes: Sequence[jnp.ndarray],
+    sketch_masks: Sequence[jnp.ndarray],
+    index_keys: Sequence[jnp.ndarray],
+    index_row_ptr: Sequence[jnp.ndarray],
+    index_postings: Sequence[jnp.ndarray],
+    *,
+    chain_fraction: float,
+    events_per_read: int,
+    candidate_capacity: int,
+) -> MatchResult:
+    """Full row-parallel match against a local (replicated) index."""
+    K = len(sketch_hashes)
+    parts, drops = [], []
+    for ki in range(K):
+        key, d = row_expand_events(
+            sketch_hashes[ki],
+            sketch_masks[ki],
+            index_keys[ki],
+            index_row_ptr[ki],
+            index_postings[ki],
+            events_per_read=events_per_read,
+            k_index=ki,
+            num_k=K,
+        )
+        parts.append(key)
+        drops.append(d)
+    keym = jnp.concatenate(parts, axis=1)
+    result = row_events_to_candidates(
+        keym,
+        num_k=K,
+        chain_fraction=chain_fraction,
+        candidate_capacity=candidate_capacity,
+    )
+    result.stats["expand_dropped"] = jnp.stack(drops)
+    return result

@@ -22,7 +22,7 @@ from sketch_rna_tpu.config import QuantConfig
 from sketch_rna_tpu.em.em import assign_reads, run_em
 from sketch_rna_tpu.index.artifact import IndexArtifact
 from sketch_rna_tpu.io.packing import PackedReads
-from sketch_rna_tpu.match.candidates import match_batch
+from sketch_rna_tpu.match.rowmatch import row_match
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
 
 log = logging.getLogger(__name__)
@@ -81,14 +81,14 @@ def sketch_match_step(
         hashes.append(h)
         masks.append(m)
         overflows.append(ov)
-    result = match_batch(
+    result = row_match(
         hashes,
         masks,
         index_keys,
         index_row_ptr,
         index_postings,
         chain_fraction=chain_fraction,
-        expand_per_read=expand_per_read,
+        events_per_read=expand_per_read,
         candidate_capacity=candidate_capacity,
     )
     stats = dict(result.stats)
