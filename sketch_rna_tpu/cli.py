@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: float64 on CPU backend, float32 on TPU")
     p.add_argument("--no-native", action="store_true",
                    help="disable the native (C++) FASTQ parser")
+    p.add_argument("--index-format", choices=["npz", "refbin"], default="npz",
+                   help="index mode output format: npz artifact (default) or "
+                   "the reference binary layout (interoperable with the C++ tool)")
     return p
 
 
@@ -88,7 +91,9 @@ def _config_from_args(args, kmer_lengths) -> QuantConfig:
     )
 
 
-def run_index(ref_fasta: str, index_out: str, config: QuantConfig) -> None:
+def run_index(
+    ref_fasta: str, index_out: str, config: QuantConfig, index_format: str = "npz"
+) -> None:
     from sketch_rna_tpu.index.artifact import save_index
     from sketch_rna_tpu.index.build import build_index
     from sketch_rna_tpu.io.fasta import load_fasta
@@ -99,7 +104,12 @@ def run_index(ref_fasta: str, index_out: str, config: QuantConfig) -> None:
     elapsed = time.perf_counter() - t0
     # Mirrors "Index built in N seconds." (src/main.cpp:88).
     print(f"Index built in {elapsed} seconds.")
-    save_index(index_out, idx)
+    if index_format == "refbin":
+        from sketch_rna_tpu.index.refbin import write_refbin_index
+
+        write_refbin_index(index_out, idx, records.seqs)
+    else:
+        save_index(index_out, idx)
     print(f"Index saved to {index_out}")
 
 
@@ -110,12 +120,13 @@ def run_quant(
     config: QuantConfig,
     use_native: bool = True,
 ) -> None:
-    from sketch_rna_tpu.index.artifact import load_index
+    from sketch_rna_tpu.index.refbin import load_any_index
     from sketch_rna_tpu.io.fastq import load_fastq_dict
     from sketch_rna_tpu.io.packing import pack_reads
     from sketch_rna_tpu.pipeline import quantify, write_csv
 
-    idx = load_index(index_path)
+    # Accepts both our .npz artifact and the reference's binary format.
+    idx = load_any_index(index_path)
     print("Loading index completed")
     # Quirk Q1: the index's k-mer lengths win over CLI -k.
     config = dataclasses.replace(config, kmer_lengths=tuple(idx.kmer_lengths))
@@ -176,7 +187,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("Usage: sketch-rna-tpu index <reference_genome.fasta> <index_output>", file=sys.stderr)
             return 1
         config = _config_from_args(args, args.kmer_length)
-        run_index(args.positional[0], args.positional[1], config)
+        run_index(args.positional[0], args.positional[1], config, args.index_format)
     elif args.mode == "quant":
         if len(args.positional) < 3:
             print("Usage: sketch-rna-tpu quant <index_file> <reads.fastq> <output>", file=sys.stderr)

@@ -16,6 +16,7 @@ pairs), since index build is offline and bandwidth-trivial next to quant
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Dict, List, Sequence, Tuple
 
@@ -45,7 +46,26 @@ def _hash_keep_batch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, thr: int)
     return h, keep
 
 
-_hash_keep_batch_jit = jax.jit(_hash_keep_batch, static_argnums=(2, 3))
+# Index build is offline and bucket shapes vary; pin its hashing to the
+# CPU backend so it never burns (slow, remote) TPU compiles per bucket.
+# The quant hot path is unaffected.
+@functools.lru_cache(maxsize=1)
+def _cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def _hash_keep_batch_jit(codes, lengths, k, thr):
+    dev = _cpu_device()
+    if dev is not None:
+        codes = jax.device_put(codes, dev)
+        lengths = jax.device_put(lengths, dev)
+    return _hash_keep_batch_compiled(codes, lengths, k, thr)
+
+
+_hash_keep_batch_compiled = jax.jit(_hash_keep_batch, static_argnums=(2, 3))
 
 
 def _bucketize(lengths: Sequence[int]) -> Dict[int, List[int]]:

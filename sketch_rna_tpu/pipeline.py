@@ -135,8 +135,11 @@ def collect_pairs(
     p_score: List[np.ndarray] = []
     stats = {"expand_dropped": 0, "candidate_spilled": 0, "sketch_overflow": 0}
     B = config.batch_size
+    # Dispatch all device batches first (JAX dispatch is async), then sync
+    # results — overlaps device compute with host-side pair collection.
+    pending = []
     for codes, lengths, row0 in packed.batches(B):
-        tid, score, mask, s = sketch_match_step(
+        out = sketch_match_step(
             jnp.asarray(codes),
             jnp.asarray(lengths),
             keys,
@@ -149,6 +152,8 @@ def collect_pairs(
             expand_per_read=config.expand_per_read,
             candidate_capacity=config.candidate_capacity,
         )
+        pending.append((out, row0))
+    for (tid, score, mask, s), row0 in pending:
         tid = np.asarray(tid)
         score = np.asarray(score)
         mask = np.asarray(mask)
