@@ -58,39 +58,55 @@ def row_expand_events(
     k_index: int,
     num_k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Expand one k's posting events into per-read lanes.
+    """Expand one k's posting events into per-read lanes (sorted-array
+    probe variant; see row_expand_from_runs for the core)."""
+    start, length = lookup_postings(hashes, mask, keys, row_ptr)
+    return row_expand_from_runs(
+        start,
+        length,
+        postings,
+        events_per_read=events_per_read,
+        k_index=k_index,
+        num_k=num_k,
+    )
+
+
+def row_expand_from_runs(
+    start: jnp.ndarray,
+    length: jnp.ndarray,
+    postings: jnp.ndarray,
+    *,
+    events_per_read: int,
+    k_index: int,
+    num_k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand posting runs [B, S] into per-read event lanes.
 
     Returns (key [B, Epr] int32 packed tid*K + k_index, sentinel-filled;
              n_dropped [] int32 events past the per-read budget).
     """
-    B, S = hashes.shape
+    B, S = start.shape
     Epr = events_per_read
     P = postings.shape[0]
-    start, length = lookup_postings(hashes, mask, keys, row_ptr)
 
     cum = jnp.cumsum(length, axis=1)  # [B, S] inclusive
     total = cum[:, -1:]  # [B, 1]
-    Sp = _next_pow2(S)
-    pad = jnp.full((B, Sp - S), jnp.int32(1 << 30), jnp.int32)
-    cum_p = jnp.concatenate([cum, pad], axis=1) if Sp > S else cum
 
     j = jnp.arange(Epr, dtype=jnp.int32)[None, :]  # [1, Epr]
-    # slot = count of cumsum entries <= j  (first slot with cum > j).
-    slot = jnp.zeros((B, Epr), jnp.int32)
-    step = Sp >> 1
-    while step:
-        nxt = slot + step
-        cval = jnp.take_along_axis(cum_p, jnp.minimum(nxt - 1, Sp - 1), axis=1)
-        slot = jnp.where((nxt <= Sp) & (cval <= j), nxt, slot)
-        step >>= 1
-    slot_c = jnp.minimum(slot, S - 1)
-    run_begin = jnp.where(
-        slot > 0, jnp.take_along_axis(cum_p, jnp.maximum(slot - 1, 0), axis=1), 0
-    )
+    # Find the owning sketch slot for each event lane by scanning the S
+    # (small, static) per-read cumsum columns with pure compares — no
+    # gathers at all (TPU gathers run ~100M elem/s; these VPU passes are
+    # bandwidth-trivial).  slot = first s with cum[s] > j; run_begin =
+    # cum[slot-1]; sel_start = start[slot].
+    run_begin = jnp.zeros((B, Epr), jnp.int32)
+    sel_start = jnp.broadcast_to(start[:, 0:1], (B, Epr))
+    for s in range(1, S):
+        le = cum[:, s - 1 : s] <= j  # slot >= s
+        run_begin = jnp.where(le, cum[:, s - 1 : s], run_begin)
+        sel_start = jnp.where(le, start[:, s : s + 1], sel_start)
     valid = j < total
-    p_idx = jnp.take_along_axis(start, slot_c, axis=1) + (j - run_begin)
-    p_idx = jnp.clip(p_idx, 0, P - 1)
-    tid_ev = postings[p_idx]  # [B, Epr] gather
+    p_idx = jnp.clip(sel_start + (j - run_begin), 0, P - 1)
+    tid_ev = postings[p_idx]  # [B, Epr] — the one unavoidable gather
     key = jnp.where(valid, tid_ev * num_k + k_index, _I32_MAX)
     n_dropped = jnp.sum(jnp.maximum(total[:, 0] - Epr, 0))
     return key, n_dropped

@@ -45,6 +45,23 @@ def _padded_index_arrays(idx: IndexArtifact, ks: Sequence[int]):
     return keys, row_ptr, postings
 
 
+def _device_index(idx: IndexArtifact, ks: Sequence[int]):
+    """Per-k bucketed lookup tables + postings for the quant hot path.
+
+    Returns (packed_tuple, postings_tuple, meta_tuple) where meta is the
+    static per-k (shift, mb) pair for bucket_lookup.
+    """
+    from sketch_rna_tpu.match.bucket_lookup import build_bucket_table
+
+    keys, row_ptr, postings = _padded_index_arrays(idx, ks)
+    packed, metas = [], []
+    for i in range(len(ks)):
+        bt = build_bucket_table(keys[i], row_ptr[i])
+        packed.append(bt.packed)
+        metas.append((bt.shift, bt.mb))
+    return tuple(packed), tuple(np.asarray(p) for p in postings), tuple(metas)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -54,13 +71,13 @@ def _padded_index_arrays(idx: IndexArtifact, ks: Sequence[int]):
         "chain_fraction",
         "expand_per_read",
         "candidate_capacity",
+        "bucket_meta",
     ),
 )
 def sketch_match_step(
     codes: jnp.ndarray,
     lengths: jnp.ndarray,
-    index_keys: Tuple[jnp.ndarray, ...],
-    index_row_ptr: Tuple[jnp.ndarray, ...],
+    index_packed: Tuple[jnp.ndarray, ...],
     index_postings: Tuple[jnp.ndarray, ...],
     *,
     kmer_lengths: Tuple[int, ...],
@@ -69,29 +86,46 @@ def sketch_match_step(
     chain_fraction: float,
     expand_per_read: int,
     candidate_capacity: int,
+    bucket_meta: Tuple[Tuple[int, int], ...],
 ):
     """One device batch: per-k sketching + candidate matching.
 
     This is the quant hot path (reference hot loops #3 and #4,
-    SURVEY.md §3.2) as a single XLA program.
+    SURVEY.md §3.2) as a single XLA program: windowed-XOR hashing, two
+    short row sorts (sketch dedup), one bucket-table gather per k
+    (lookup), comparison-based posting expansion, row-local grouping.
     """
-    hashes, masks, overflows = [], [], []
-    for k, cap in zip(kmer_lengths, sketch_caps):
+    from sketch_rna_tpu.match.bucket_lookup import bucket_lookup
+    from sketch_rna_tpu.match.rowmatch import (
+        row_events_to_candidates,
+        row_expand_from_runs,
+    )
+
+    K = len(kmer_lengths)
+    overflows, parts, drops = [], [], []
+    for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
         h, m, ov = sketch_batch(codes, lengths, k, sketch_fraction, cap)
-        hashes.append(h)
-        masks.append(m)
         overflows.append(ov)
-    result = row_match(
-        hashes,
-        masks,
-        index_keys,
-        index_row_ptr,
-        index_postings,
+        shift, mb = bucket_meta[ki]
+        start, length = bucket_lookup(h, m, index_packed[ki], shift=shift, mb=mb)
+        key, d = row_expand_from_runs(
+            start,
+            length,
+            index_postings[ki],
+            events_per_read=expand_per_read,
+            k_index=ki,
+            num_k=K,
+        )
+        parts.append(key)
+        drops.append(d)
+    result = row_events_to_candidates(
+        jnp.concatenate(parts, axis=1),
+        num_k=K,
         chain_fraction=chain_fraction,
-        events_per_read=expand_per_read,
         candidate_capacity=candidate_capacity,
     )
     stats = dict(result.stats)
+    stats["expand_dropped"] = jnp.stack(drops)
     stats["sketch_overflow"] = jnp.stack(overflows)
     return result.tid, result.score, result.mask, stats
 
@@ -125,9 +159,8 @@ def collect_pairs(
     (read_row, tid, score) on the host, plus overflow stats."""
     ks = tuple(index.kmer_lengths)
     caps = tuple(config.sketch_capacity_for(k) for k in ks)
-    keys, row_ptr, postings = _padded_index_arrays(index, ks)
-    keys = tuple(jnp.asarray(a) for a in keys)
-    row_ptr = tuple(jnp.asarray(a) for a in row_ptr)
+    bpacked, postings, bucket_meta = _device_index(index, ks)
+    bpacked = tuple(jnp.asarray(a) for a in bpacked)
     postings = tuple(jnp.asarray(a) for a in postings)
 
     p_read: List[np.ndarray] = []
@@ -142,8 +175,7 @@ def collect_pairs(
         out = sketch_match_step(
             jnp.asarray(codes),
             jnp.asarray(lengths),
-            keys,
-            row_ptr,
+            bpacked,
             postings,
             kmer_lengths=ks,
             sketch_fraction=config.sketch_fraction,
@@ -151,6 +183,7 @@ def collect_pairs(
             chain_fraction=config.chain_fraction,
             expand_per_read=config.expand_per_read,
             candidate_capacity=config.candidate_capacity,
+            bucket_meta=bucket_meta,
         )
         pending.append((out, row0))
     for (tid, score, mask, s), row0 in pending:
