@@ -130,6 +130,129 @@ def sketch_match_step(
     return result.tid, result.score, result.mask, stats
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kmer_lengths",
+        "sketch_fraction",
+        "sketch_caps",
+        "chain_fraction",
+        "expand_per_read",
+        "candidate_capacity",
+        "bucket_meta",
+        "num_transcripts",
+        "em_max_iterations",
+        "em_convergence",
+        "pseudocount",
+        "em_epsilon",
+        "em_dtype",
+    ),
+)
+def quant_fused(
+    codes_all: jnp.ndarray,  # [nb, B, L] uint8
+    lengths_all: jnp.ndarray,  # [nb, B] int32
+    index_packed: Tuple[jnp.ndarray, ...],
+    index_postings: Tuple[jnp.ndarray, ...],
+    num_reads: jnp.ndarray,  # [] int32 global R
+    *,
+    kmer_lengths: Tuple[int, ...],
+    sketch_fraction: float,
+    sketch_caps: Tuple[int, ...],
+    chain_fraction: float,
+    expand_per_read: int,
+    candidate_capacity: int,
+    bucket_meta: Tuple[Tuple[int, int], ...],
+    num_transcripts: int,
+    em_max_iterations: int,
+    em_convergence: float,
+    pseudocount: float,
+    em_epsilon: float,
+    em_dtype: str,
+):
+    """Whole quant in ONE device program: lax.scan over read batches
+    (sketch+match), then EM + assignment over the stacked candidate
+    tables.  No host roundtrips between batches — the streaming
+    collect_pairs path exists for datasets whose candidate tables don't
+    fit in HBM.
+    """
+    from sketch_rna_tpu.em.em import assign_reads, run_em
+
+    K = len(kmer_lengths)
+
+    def body(carry, batch):
+        codes, lengths = batch
+        tid, score, mask, stats = sketch_match_step(
+            codes,
+            lengths,
+            index_packed,
+            index_postings,
+            kmer_lengths=kmer_lengths,
+            sketch_fraction=sketch_fraction,
+            sketch_caps=sketch_caps,
+            chain_fraction=chain_fraction,
+            expand_per_read=expand_per_read,
+            candidate_capacity=candidate_capacity,
+            bucket_meta=bucket_meta,
+        )
+        dropped, spilled, sk_ov = carry
+        # jnp.sum promotes ints to the default int width (int64 under
+        # x64); pin the carry to int32 either way.
+        carry = (
+            dropped + stats["expand_dropped"].astype(jnp.int32),
+            spilled + stats["candidate_spilled"].astype(jnp.int32),
+            sk_ov + stats["sketch_overflow"].astype(jnp.int32),
+        )
+        return carry, (tid, jnp.where(mask, score, 0))
+
+    zero = (
+        jnp.zeros(K, jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros(K, jnp.int32),
+    )
+    (dropped, spilled, sk_ov), (tids, scores) = jax.lax.scan(
+        body, zero, (codes_all, lengths_all)
+    )
+    nb, B, C = tids.shape
+    N = nb * B
+    pair_tid = tids.reshape(-1)
+    pair_score = scores.reshape(-1)
+    pair_read = jnp.repeat(jnp.arange(N, dtype=jnp.int32), C)
+
+    pi, iters = run_em(
+        pair_read,
+        pair_tid,
+        pair_score,
+        num_reads,
+        num_transcripts=num_transcripts,
+        read_capacity=N,
+        max_iterations=em_max_iterations,
+        convergence_threshold=em_convergence,
+        pseudocount=pseudocount,
+        epsilon=em_epsilon,
+        dtype=em_dtype,
+    )
+    weighted, has_entry = assign_reads(
+        pair_read,
+        pair_tid,
+        pair_score,
+        pi,
+        num_transcripts=num_transcripts,
+        read_capacity=N,
+        dtype=em_dtype,
+    )
+    stats = {
+        "expand_dropped": dropped,
+        "candidate_spilled": spilled,
+        "sketch_overflow": sk_ov,
+    }
+    return pi, weighted, has_entry, iters, stats
+
+
+# Fused path engages when the padded read count stays under this bound
+# (candidate tables [N, C] + pair arrays [N*C] must fit in HBM).
+FUSED_MAX_PADDED_READS = 1 << 21
+
+
 @dataclasses.dataclass
 class QuantResult:
     names: List[str]
@@ -228,10 +351,19 @@ def quantify(
     packed: PackedReads,
     config: Optional[QuantConfig] = None,
 ) -> QuantResult:
-    """Full quant: sketch -> match -> EM -> assignment (src/main.cpp:165-197)."""
+    """Full quant: sketch -> match -> EM -> assignment (src/main.cpp:165-197).
+
+    Uses the fused single-program device path when the dataset fits;
+    falls back to streaming batches + host pair collection otherwise.
+    """
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
     T = index.num_transcripts
     R = packed.num_reads
+
+    B = config.batch_size
+    nb = (R + B - 1) // B
+    if 0 < nb * B <= FUSED_MAX_PADDED_READS:
+        return _quantify_fused(index, packed, config, nb)
 
     pr, pt, ps, stats = collect_pairs(index, packed, config)
     pr_p, pt_p, ps_p = _pad_pairs(pr, pt, ps, read_capacity=R)
@@ -266,6 +398,56 @@ def quantify(
         em_iterations=int(iters),
         num_reads=R,
         stats=stats,
+    )
+
+
+def _quantify_fused(
+    index: IndexArtifact, packed: PackedReads, config: QuantConfig, nb: int
+) -> QuantResult:
+    ks = tuple(index.kmer_lengths)
+    caps = tuple(config.sketch_capacity_for(k) for k in ks)
+    bpacked, postings, bucket_meta = _device_index(index, ks)
+    B = config.batch_size
+    N = nb * B
+    L = packed.padded_len
+    codes_all = np.zeros((nb, B, L), np.uint8)
+    lengths_all = np.zeros((nb, B), np.int32)
+    flat_codes = codes_all.reshape(N, L)
+    flat_codes[: packed.num_reads] = packed.codes
+    lengths_all.reshape(N)[: packed.num_reads] = packed.lengths
+
+    pi, weighted, has_entry, iters, stats = quant_fused(
+        jnp.asarray(codes_all),
+        jnp.asarray(lengths_all),
+        tuple(jnp.asarray(a) for a in bpacked),
+        tuple(jnp.asarray(a) for a in postings),
+        jnp.asarray(packed.num_reads, jnp.int32),
+        kmer_lengths=ks,
+        sketch_fraction=config.sketch_fraction,
+        sketch_caps=caps,
+        chain_fraction=config.chain_fraction,
+        expand_per_read=config.expand_per_read,
+        candidate_capacity=config.candidate_capacity,
+        bucket_meta=bucket_meta,
+        num_transcripts=index.num_transcripts,
+        em_max_iterations=config.em_max_iterations,
+        em_convergence=config.em_convergence,
+        pseudocount=config.pseudocount,
+        em_epsilon=config.em_epsilon,
+        em_dtype=config.em_dtype,
+    )
+    host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
+    for key, v in host_stats.items():
+        if v:
+            log.warning("capacity overflow during matching: %s=%d", key, v)
+    return QuantResult(
+        names=list(index.names),
+        pi=np.asarray(pi),
+        weighted_counts=np.asarray(weighted),
+        has_entry=np.asarray(has_entry),
+        em_iterations=int(iters),
+        num_reads=packed.num_reads,
+        stats=host_stats,
     )
 
 
