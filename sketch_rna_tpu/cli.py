@@ -113,6 +113,41 @@ def run_index(
     print(f"Index saved to {index_out}")
 
 
+def _load_reads(reads_path: str, idx, config: QuantConfig, use_native: bool):
+    """Parse + validate + pack one FASTQ (native C++ parser when built).
+
+    The reference processes reads of any length (src/main.cpp:107-151);
+    the pad width grows to the longest kept read (rounded to a
+    lane-friendly multiple of 128) so no valid read is dropped.
+    """
+    from sketch_rna_tpu.io.fastq import load_fastq_dict
+    from sketch_rna_tpu.io.packing import pack_reads
+
+    max_k = max(idx.kmer_lengths)
+    if use_native:
+        from sketch_rna_tpu.io import native
+
+        if native.native_available():
+            packed, stats = native.pack_fastq_native(reads_path, min_len=max_k)
+            longest = stats["max_len"]
+            pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
+            if packed.padded_len < pad_len:
+                import numpy as np
+
+                grown = np.zeros((packed.num_reads, pad_len), np.uint8)
+                grown[:, : packed.padded_len] = packed.codes
+                packed.codes = grown
+            return packed
+    reads = load_fastq_dict(reads_path)
+    longest = max((len(s) for s in reads.values()), default=0)
+    pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
+    packed, n_invalid, n_too_long = pack_reads(
+        list(reads.values()), list(reads.keys()), min_len=max_k, pad_len=pad_len
+    )
+    assert n_too_long == 0
+    return packed
+
+
 def run_quant(
     index_path: str,
     reads_path: str,
@@ -131,34 +166,28 @@ def run_quant(
     # Quirk Q1: the index's k-mer lengths win over CLI -k.
     config = dataclasses.replace(config, kmer_lengths=tuple(idx.kmer_lengths))
 
-    max_k = max(idx.kmer_lengths)
-    packed = None
-    if use_native:
-        from sketch_rna_tpu.io import native
+    if "," in reads_path:
+        # Multi-sample batch quant: comma-separated FASTQs, one CSV per
+        # sample, named <output_stem>.<sample_stem>.csv.
+        import os
 
-        if native.native_available():
-            # Native path: mmap + threaded validation/packing; the pad
-            # width grows to the longest kept read so none are dropped.
-            packed, _stats = native.pack_fastq_native(reads_path, min_len=max_k)
-            longest = _stats["max_len"]
-            pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
-            if packed.padded_len < pad_len:
-                import numpy as np
+        from sketch_rna_tpu.pipeline import quantify_samples
 
-                grown = np.zeros((packed.num_reads, pad_len), np.uint8)
-                grown[:, : packed.padded_len] = packed.codes
-                packed.codes = grown
-    if packed is None:
-        reads = load_fastq_dict(reads_path)
-        # The reference processes reads of any length (src/main.cpp:107-151);
-        # grow the pad width beyond the configured default if needed so no
-        # valid read is dropped (rounded up to a lane-friendly multiple).
-        longest = max((len(s) for s in reads.values()), default=0)
-        pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
-        packed, n_invalid, n_too_long = pack_reads(
-            list(reads.values()), list(reads.keys()), min_len=max_k, pad_len=pad_len
-        )
-        assert n_too_long == 0
+        samples = {}
+        for fq in reads_path.split(","):
+            packed_s = _load_reads(fq, idx, config, use_native)
+            samples[os.path.splitext(os.path.basename(fq))[0]] = packed_s
+        print("Loading read completed")
+        results = quantify_samples(idx, samples, config)
+        stem, ext = os.path.splitext(output_path)
+        ext = ext or ".csv"
+        for name, result in results.items():
+            out = f"{stem}.{name}{ext}"
+            write_csv(out, result)
+            print(f"Output written to {out}")
+        return
+
+    packed = _load_reads(reads_path, idx, config, use_native)
     print("Loading read completed")
 
     result = quantify(idx, packed, config)

@@ -262,6 +262,7 @@ class QuantResult:
     em_iterations: int
     num_reads: int  # R (valid reads, incl. candidate-less)
     stats: Dict[str, int]
+    timing: Dict[str, float] = dataclasses.field(default_factory=dict)
 
     def csv_rows(self) -> List[Tuple[str, float, float]]:
         """(name, NumReads, EM_Abundance) rows in deterministic index
@@ -360,36 +361,46 @@ def quantify(
     T = index.num_transcripts
     R = packed.num_reads
 
+    from sketch_rna_tpu.utils.profiling import maybe_trace
+    from sketch_rna_tpu.utils.timing import PhaseTimer
+
+    timer = PhaseTimer()
     B = config.batch_size
     nb = (R + B - 1) // B
     if 0 < nb * B <= FUSED_MAX_PADDED_READS:
-        return _quantify_fused(index, packed, config, nb)
+        with maybe_trace("quant_fused"), timer.phase("quant_fused", items=R):
+            result = _quantify_fused(index, packed, config, nb)
+        result.timing = timer.report()
+        return result
 
-    pr, pt, ps, stats = collect_pairs(index, packed, config)
+    with timer.phase("sketch_match", items=R):
+        pr, pt, ps, stats = collect_pairs(index, packed, config)
     pr_p, pt_p, ps_p = _pad_pairs(pr, pt, ps, read_capacity=R)
 
-    pi, iters = run_em(
-        jnp.asarray(pr_p),
-        jnp.asarray(pt_p),
-        jnp.asarray(ps_p),
-        jnp.asarray(R, dtype=jnp.int32),
-        num_transcripts=T,
-        read_capacity=R,
-        max_iterations=config.em_max_iterations,
-        convergence_threshold=config.em_convergence,
-        pseudocount=config.pseudocount,
-        epsilon=config.em_epsilon,
-        dtype=config.em_dtype,
-    )
-    weighted, has_entry = assign_reads(
-        jnp.asarray(pr_p),
-        jnp.asarray(pt_p),
-        jnp.asarray(ps_p),
-        pi,
-        num_transcripts=T,
-        read_capacity=R,
-        dtype=config.em_dtype,
-    )
+    with timer.phase("em", items=config.em_max_iterations):
+        pi, iters = run_em(
+            jnp.asarray(pr_p),
+            jnp.asarray(pt_p),
+            jnp.asarray(ps_p),
+            jnp.asarray(R, dtype=jnp.int32),
+            num_transcripts=T,
+            read_capacity=R,
+            max_iterations=config.em_max_iterations,
+            convergence_threshold=config.em_convergence,
+            pseudocount=config.pseudocount,
+            epsilon=config.em_epsilon,
+            dtype=config.em_dtype,
+        )
+    with timer.phase("assignment"):
+        weighted, has_entry = assign_reads(
+            jnp.asarray(pr_p),
+            jnp.asarray(pt_p),
+            jnp.asarray(ps_p),
+            pi,
+            num_transcripts=T,
+            read_capacity=R,
+            dtype=config.em_dtype,
+        )
     return QuantResult(
         names=list(index.names),
         pi=np.asarray(pi),
@@ -398,6 +409,7 @@ def quantify(
         em_iterations=int(iters),
         num_reads=R,
         stats=stats,
+        timing=timer.report(),
     )
 
 
@@ -449,6 +461,21 @@ def _quantify_fused(
         num_reads=packed.num_reads,
         stats=host_stats,
     )
+
+
+def quantify_samples(
+    index: IndexArtifact,
+    samples: Dict[str, PackedReads],
+    config: Optional[QuantConfig] = None,
+) -> Dict[str, QuantResult]:
+    """Multi-sample batch quant (BASELINE.json config 5): quantify many
+    FASTQ samples against one loaded index.  Single-host form runs
+    samples sequentially over the shared device index (index load and
+    bucket tables amortized); under a multi-host mesh the natural outer
+    axis is samples-per-host, each host running this loop on its share.
+    """
+    config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
+    return {name: quantify(index, packed, config) for name, packed in samples.items()}
 
 
 def format_cpp_double(v: float) -> str:
