@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sketch_rna_tpu.em.em import assign_reads, run_em
+from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
 from sketch_rna_tpu.match.rowmatch import row_events_to_candidates, row_expand_events
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
 
@@ -93,19 +93,14 @@ def _body(
         candidate_capacity=candidate_capacity,
     )
 
-    # Candidate tables -> flat pairs (no compaction needed on device).
-    C = candidate_capacity
-    pair_read = jnp.repeat(jnp.arange(Bl, dtype=jnp.int32), C)
-    pair_tid = result.tid.reshape(-1)
-    pair_score = jnp.where(result.mask, result.score, 0).reshape(-1)
+    tbl_tid = result.tid
+    tbl_score = jnp.where(result.mask, result.score, 0)
 
-    pi, iters = run_em(
-        pair_read,
-        pair_tid,
-        pair_score,
+    pi, iters = run_em_tables(
+        tbl_tid,
+        tbl_score,
         num_reads,
         num_transcripts=num_transcripts,
-        read_capacity=Bl,
         max_iterations=em_max_iterations,
         convergence_threshold=em_convergence,
         pseudocount=pseudocount,
@@ -113,13 +108,11 @@ def _body(
         dtype=em_dtype,
         axis_name="data",
     )
-    weighted, has_entry = assign_reads(
-        pair_read,
-        pair_tid,
-        pair_score,
+    weighted, has_entry = assign_reads_tables(
+        tbl_tid,
+        tbl_score,
         pi,
         num_transcripts=num_transcripts,
-        read_capacity=Bl,
         dtype=em_dtype,
         axis_name="data",
     )

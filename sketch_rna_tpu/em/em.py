@@ -110,6 +110,95 @@ def run_em(
 
 @partial(
     jax.jit,
+    static_argnames=(
+        "num_transcripts",
+        "max_iterations",
+        "convergence_threshold",
+        "pseudocount",
+        "epsilon",
+        "dtype",
+        "axis_name",
+    ),
+)
+def run_em_tables(
+    tbl_tid: jnp.ndarray,  # [N, C] int32 candidate transcripts
+    tbl_score: jnp.ndarray,  # [N, C] int32 scores (0 on padded lanes)
+    num_reads: jnp.ndarray,  # [] int32 global R
+    *,
+    num_transcripts: int,
+    max_iterations: int = 20,
+    convergence_threshold: float = 0.01,
+    pseudocount: float = 0.01,
+    epsilon: float = 1e-10,
+    dtype: str = "float32",
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EM directly over [N, C] candidate tables (same math as run_em).
+
+    The candidate-table layout makes the per-read denominator a row sum
+    (pure VPU reduce) so each iteration needs only ONE scatter-add (the
+    posterior sum into [T]) instead of two segment-sums.
+    """
+    T = num_transcripts
+    dt = jnp.dtype(dtype)
+    score = tbl_score.astype(dt)
+
+    pi0 = jnp.full(T, 1.0 / T, dtype=dt)
+    pcf = jnp.float32(pseudocount)
+    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + jnp.asarray(pseudocount, dt)
+
+    def e_step(pi):
+        w = pi[tbl_tid] * score  # [N, C]
+        denom = jnp.sum(w, axis=1, keepdims=True)
+        inv = jnp.where(denom > jnp.asarray(epsilon, dt), 1.0 / denom, jnp.asarray(0, dt))
+        post = w * inv
+        ps = jnp.zeros(T, dt).at[tbl_tid.reshape(-1)].add(post.reshape(-1))
+        return _psum_maybe(ps, axis_name)
+
+    def cond(state):
+        _, it, done = state
+        return (it < max_iterations) & jnp.logical_not(done)
+
+    def body(state):
+        pi, it, _ = state
+        new_pi = e_step(pi) + term
+        change = jnp.sum(jnp.abs(new_pi - pi))
+        return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
+
+    pi, iters, _ = jax.lax.while_loop(cond, body, (pi0, jnp.int32(0), jnp.bool_(False)))
+    return pi, iters
+
+
+@partial(jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name"))
+def assign_reads_tables(
+    tbl_tid: jnp.ndarray,
+    tbl_score: jnp.ndarray,
+    pi: jnp.ndarray,
+    *,
+    num_transcripts: int,
+    dtype: str = "float32",
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Table-layout soft assignment (same math as assign_reads)."""
+    T = num_transcripts
+    dt = jnp.dtype(dtype)
+    score = tbl_score.astype(dt)
+    w = pi[tbl_tid] * score
+    denom = jnp.sum(w, axis=1, keepdims=True)
+    ok = denom > jnp.asarray(0, dt)
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), jnp.asarray(0, dt))
+    prob = w * inv
+    flat_tid = tbl_tid.reshape(-1)
+    weighted = jnp.zeros(T, dt).at[flat_tid].add(prob.reshape(-1))
+    contributes = ((score > 0) & ok).reshape(-1)
+    has_entry = jnp.zeros(T, jnp.int32).at[flat_tid].add(contributes.astype(jnp.int32))
+    weighted = _psum_maybe(weighted, axis_name)
+    has_entry = _psum_maybe(has_entry, axis_name)
+    return weighted, has_entry > 0
+
+
+@partial(
+    jax.jit,
     static_argnames=("num_transcripts", "read_capacity", "dtype", "axis_name"),
 )
 def assign_reads(

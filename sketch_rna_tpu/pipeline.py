@@ -175,7 +175,7 @@ def quant_fused(
     collect_pairs path exists for datasets whose candidate tables don't
     fit in HBM.
     """
-    from sketch_rna_tpu.em.em import assign_reads, run_em
+    from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
 
     K = len(kmer_lengths)
 
@@ -214,30 +214,25 @@ def quant_fused(
     )
     nb, B, C = tids.shape
     N = nb * B
-    pair_tid = tids.reshape(-1)
-    pair_score = scores.reshape(-1)
-    pair_read = jnp.repeat(jnp.arange(N, dtype=jnp.int32), C)
+    tbl_tid = tids.reshape(N, C)
+    tbl_score = scores.reshape(N, C)
 
-    pi, iters = run_em(
-        pair_read,
-        pair_tid,
-        pair_score,
+    pi, iters = run_em_tables(
+        tbl_tid,
+        tbl_score,
         num_reads,
         num_transcripts=num_transcripts,
-        read_capacity=N,
         max_iterations=em_max_iterations,
         convergence_threshold=em_convergence,
         pseudocount=pseudocount,
         epsilon=em_epsilon,
         dtype=em_dtype,
     )
-    weighted, has_entry = assign_reads(
-        pair_read,
-        pair_tid,
-        pair_score,
+    weighted, has_entry = assign_reads_tables(
+        tbl_tid,
+        tbl_score,
         pi,
         num_transcripts=num_transcripts,
-        read_capacity=N,
         dtype=em_dtype,
     )
     stats = {
