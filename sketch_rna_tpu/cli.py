@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: float64 on CPU backend, float32 on TPU")
     p.add_argument("--no-native", action="store_true",
                    help="disable the native (C++) FASTQ parser")
+    p.add_argument("--tpm", action="store_true",
+                   help="append a true-TPM column (length-normalized; the "
+                   "reference promises TPM but never computes it)")
     p.add_argument("--index-format", choices=["npz", "refbin"], default="npz",
                    help="index mode output format: npz artifact (default) or "
                    "the reference binary layout (interoperable with the C++ tool)")
@@ -154,6 +157,7 @@ def run_quant(
     output_path: str,
     config: QuantConfig,
     use_native: bool = True,
+    with_tpm: bool = False,
 ) -> None:
     from sketch_rna_tpu.index.refbin import load_any_index
     from sketch_rna_tpu.io.fastq import load_fastq_dict
@@ -183,7 +187,7 @@ def run_quant(
         ext = ext or ".csv"
         for name, result in results.items():
             out = f"{stem}.{name}{ext}"
-            write_csv(out, result)
+            write_csv(out, result, with_tpm=with_tpm)
             print(f"Output written to {out}")
         return
 
@@ -194,7 +198,7 @@ def run_quant(
     print("Sparse chaining completed")
     print("EM estimation completed")
     print("Read assignment completed")
-    write_csv(output_path, result)
+    write_csv(output_path, result, with_tpm=with_tpm)
     print(f"Output written to {output_path}")
 
 
@@ -228,6 +232,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.positional[2],
             config,
             use_native=not args.no_native,
+            with_tpm=args.tpm,
         )
     return 0
 

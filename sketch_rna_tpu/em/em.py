@@ -132,18 +132,28 @@ def run_em_tables(
     epsilon: float = 1e-10,
     dtype: str = "float32",
     axis_name: Optional[str] = None,
+    init_pi: Optional[jnp.ndarray] = None,
+    start_iteration: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM directly over [N, C] candidate tables (same math as run_em).
 
     The candidate-table layout makes the per-read denominator a row sum
     (pure VPU reduce) so each iteration needs only ONE scatter-add (the
     posterior sum into [T]) instead of two segment-sums.
+
+    init_pi/start_iteration resume from an EM checkpoint
+    (em/checkpoint.py): the loop continues from the saved pi with the
+    remaining iteration budget.
     """
     T = num_transcripts
     dt = jnp.dtype(dtype)
     score = tbl_score.astype(dt)
 
-    pi0 = jnp.full(T, 1.0 / T, dtype=dt)
+    pi0 = (
+        jnp.full(T, 1.0 / T, dtype=dt)
+        if init_pi is None
+        else jnp.asarray(init_pi, dtype=dt)
+    )
     pcf = jnp.float32(pseudocount)
     term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + jnp.asarray(pseudocount, dt)
 
@@ -165,7 +175,9 @@ def run_em_tables(
         change = jnp.sum(jnp.abs(new_pi - pi))
         return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
 
-    pi, iters, _ = jax.lax.while_loop(cond, body, (pi0, jnp.int32(0), jnp.bool_(False)))
+    pi, iters, _ = jax.lax.while_loop(
+        cond, body, (pi0, jnp.int32(start_iteration), jnp.bool_(False))
+    )
     return pi, iters
 
 

@@ -258,6 +258,18 @@ class QuantResult:
     num_reads: int  # R (valid reads, incl. candidate-less)
     stats: Dict[str, int]
     timing: Dict[str, float] = dataclasses.field(default_factory=dict)
+    lengths: Optional[np.ndarray] = None  # [T] true transcript lengths
+
+    def tpm(self) -> np.ndarray:
+        """True TPM from the soft-assigned counts and real transcript
+        lengths — the normalization the reference README promises but
+        never computes (quirk Q3, SURVEY.md §7.1).  Optional extra; the
+        reference-compatible columns are unchanged."""
+        assert self.lengths is not None
+        lens = np.maximum(self.lengths.astype(np.float64), 1.0)
+        rate = self.weighted_counts / lens
+        total = rate.sum()
+        return rate / total * 1e6 if total > 0 else rate
 
     def csv_rows(self) -> List[Tuple[str, float, float]]:
         """(name, NumReads, EM_Abundance) rows in deterministic index
@@ -405,6 +417,7 @@ def quantify(
         num_reads=R,
         stats=stats,
         timing=timer.report(),
+        lengths=np.asarray(index.lengths),
     )
 
 
@@ -455,6 +468,7 @@ def _quantify_fused(
         em_iterations=int(iters),
         num_reads=packed.num_reads,
         stats=host_stats,
+        lengths=np.asarray(index.lengths),
     )
 
 
@@ -479,11 +493,27 @@ def format_cpp_double(v: float) -> str:
     return f"{v:.6g}"
 
 
-def write_csv(path: str, result: QuantResult) -> None:
+def write_csv(path: str, result: QuantResult, with_tpm: bool = False) -> None:
     """CSV schema of output_to_csv (src/data_io.cpp:133-152):
     header Name,NumReads,EM_Abundance; rows only for transcripts with a
-    read_counts entry; deterministic index order replaces quirk Q4."""
+    read_counts entry; deterministic index order replaces quirk Q4.
+
+    with_tpm appends an optional true-TPM column (quirk Q3: the reference
+    README promises TPM but never computes it; off by default to keep the
+    byte-level schema)."""
+    tpm = result.tpm() if with_tpm else None
     with open(path, "w") as fh:
-        fh.write("Name,NumReads,EM_Abundance\n")
-        for name, numreads, abundance in result.csv_rows():
-            fh.write(f"{name},{format_cpp_double(numreads)},{format_cpp_double(abundance)}\n")
+        if with_tpm:
+            fh.write("Name,NumReads,EM_Abundance,TPM\n")
+        else:
+            fh.write("Name,NumReads,EM_Abundance\n")
+        for t in range(len(result.names)):
+            if not result.has_entry[t]:
+                continue
+            row = (
+                f"{result.names[t]},{format_cpp_double(float(result.weighted_counts[t]))},"
+                f"{format_cpp_double(float(result.pi[t]))}"
+            )
+            if with_tpm:
+                row += f",{format_cpp_double(float(tpm[t]))}"
+            fh.write(row + "\n")
