@@ -140,20 +140,13 @@ def sketch_match_step(
         "expand_per_read",
         "candidate_capacity",
         "bucket_meta",
-        "num_transcripts",
-        "em_max_iterations",
-        "em_convergence",
-        "pseudocount",
-        "em_epsilon",
-        "em_dtype",
     ),
 )
-def quant_fused(
+def match_scan(
     codes_all: jnp.ndarray,  # [nb, B, L] uint8
     lengths_all: jnp.ndarray,  # [nb, B] int32
     index_packed: Tuple[jnp.ndarray, ...],
     index_postings: Tuple[jnp.ndarray, ...],
-    num_reads: jnp.ndarray,  # [] int32 global R
     *,
     kmer_lengths: Tuple[int, ...],
     sketch_fraction: float,
@@ -162,21 +155,13 @@ def quant_fused(
     expand_per_read: int,
     candidate_capacity: int,
     bucket_meta: Tuple[Tuple[int, int], ...],
-    num_transcripts: int,
-    em_max_iterations: int,
-    em_convergence: float,
-    pseudocount: float,
-    em_epsilon: float,
-    em_dtype: str,
 ):
-    """Whole quant in ONE device program: lax.scan over read batches
-    (sketch+match), then EM + assignment over the stacked candidate
-    tables.  No host roundtrips between batches — the streaming
-    collect_pairs path exists for datasets whose candidate tables don't
-    fit in HBM.
+    """Sketch + match over all batches in ONE device program (lax.scan)
+    — no host roundtrips between batches.  Returns stacked candidate
+    tables, the max per-read candidate count (so the caller can narrow
+    the EM working width losslessly: tables are rank-ordered, row r's
+    candidates occupy its first n_r lanes), and overflow stats.
     """
-    from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
-
     K = len(kmer_lengths)
 
     def body(carry, batch):
@@ -194,13 +179,15 @@ def quant_fused(
             candidate_capacity=candidate_capacity,
             bucket_meta=bucket_meta,
         )
-        dropped, spilled, sk_ov = carry
+        dropped, spilled, sk_ov, ncm = carry
+        n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
         # jnp.sum promotes ints to the default int width (int64 under
         # x64); pin the carry to int32 either way.
         carry = (
             dropped + stats["expand_dropped"].astype(jnp.int32),
             spilled + stats["candidate_spilled"].astype(jnp.int32),
             sk_ov + stats["sketch_overflow"].astype(jnp.int32),
+            jnp.maximum(ncm, n_cand).astype(jnp.int32),
         )
         return carry, (tid, jnp.where(mask, score, 0))
 
@@ -208,39 +195,19 @@ def quant_fused(
         jnp.zeros(K, jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros(K, jnp.int32),
+        jnp.zeros((), jnp.int32),
     )
-    (dropped, spilled, sk_ov), (tids, scores) = jax.lax.scan(
+    (dropped, spilled, sk_ov, n_cand_max), (tids, scores) = jax.lax.scan(
         body, zero, (codes_all, lengths_all)
     )
     nb, B, C = tids.shape
     N = nb * B
-    tbl_tid = tids.reshape(N, C)
-    tbl_score = scores.reshape(N, C)
-
-    pi, iters = run_em_tables(
-        tbl_tid,
-        tbl_score,
-        num_reads,
-        num_transcripts=num_transcripts,
-        max_iterations=em_max_iterations,
-        convergence_threshold=em_convergence,
-        pseudocount=pseudocount,
-        epsilon=em_epsilon,
-        dtype=em_dtype,
-    )
-    weighted, has_entry = assign_reads_tables(
-        tbl_tid,
-        tbl_score,
-        pi,
-        num_transcripts=num_transcripts,
-        dtype=em_dtype,
-    )
     stats = {
         "expand_dropped": dropped,
         "candidate_spilled": spilled,
         "sketch_overflow": sk_ov,
     }
-    return pi, weighted, has_entry, iters, stats
+    return tids.reshape(N, C), scores.reshape(N, C), n_cand_max, stats
 
 
 # Fused path engages when the padded read count stays under this bound
@@ -436,12 +403,13 @@ def _quantify_fused(
     flat_codes[: packed.num_reads] = packed.codes
     lengths_all.reshape(N)[: packed.num_reads] = packed.lengths
 
-    pi, weighted, has_entry, iters, stats = quant_fused(
+    from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
+
+    tbl_tid, tbl_score, n_cand_max, stats = match_scan(
         jnp.asarray(codes_all),
         jnp.asarray(lengths_all),
         tuple(jnp.asarray(a) for a in bpacked),
         tuple(jnp.asarray(a) for a in postings),
-        jnp.asarray(packed.num_reads, jnp.int32),
         kmer_lengths=ks,
         sketch_fraction=config.sketch_fraction,
         sketch_caps=caps,
@@ -449,12 +417,33 @@ def _quantify_fused(
         expand_per_read=config.expand_per_read,
         candidate_capacity=config.candidate_capacity,
         bucket_meta=bucket_meta,
+    )
+    # Tables are rank-ordered per read, so narrowing to the max per-read
+    # candidate count is lossless and shrinks the EM working set (the
+    # dominant EM cost is the posterior scatter over N*C lanes).
+    W = max(int(n_cand_max), 1)
+    W = 1 << (W - 1).bit_length()  # pow2 to bound recompiles
+    W = min(W, config.candidate_capacity)
+    tbl_tid = jax.lax.slice_in_dim(tbl_tid, 0, W, axis=1)
+    tbl_score = jax.lax.slice_in_dim(tbl_score, 0, W, axis=1)
+
+    pi, iters = run_em_tables(
+        tbl_tid,
+        tbl_score,
+        jnp.asarray(packed.num_reads, jnp.int32),
         num_transcripts=index.num_transcripts,
-        em_max_iterations=config.em_max_iterations,
-        em_convergence=config.em_convergence,
+        max_iterations=config.em_max_iterations,
+        convergence_threshold=config.em_convergence,
         pseudocount=config.pseudocount,
-        em_epsilon=config.em_epsilon,
-        em_dtype=config.em_dtype,
+        epsilon=config.em_epsilon,
+        dtype=config.em_dtype,
+    )
+    weighted, has_entry = assign_reads_tables(
+        tbl_tid,
+        tbl_score,
+        pi,
+        num_transcripts=index.num_transcripts,
+        dtype=config.em_dtype,
     )
     host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
     for key, v in host_stats.items():
