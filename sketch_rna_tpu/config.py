@@ -50,6 +50,9 @@ class QuantConfig:
     # dtype for EM/assignment accumulation: "float64" matches the reference
     # (C++ double) bit-for-bit on CPU; use "float32" on TPU.
     em_dtype: str = "float32"
+    # Use the Pallas fused hash+threshold kernel for sketching (TPU only;
+    # the jnp windowed-XOR path is the portable reference).
+    use_pallas_sketch: bool = False
 
     def sketch_capacity_for(self, k: int) -> int:
         """Auto-size sketch capacity from the padded read length."""

@@ -72,6 +72,7 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
         "expand_per_read",
         "candidate_capacity",
         "bucket_meta",
+        "use_pallas_sketch",
     ),
 )
 def sketch_match_step(
@@ -87,6 +88,7 @@ def sketch_match_step(
     expand_per_read: int,
     candidate_capacity: int,
     bucket_meta: Tuple[Tuple[int, int], ...],
+    use_pallas_sketch: bool = False,
 ):
     """One device batch: per-k sketching + candidate matching.
 
@@ -101,10 +103,14 @@ def sketch_match_step(
         row_expand_from_runs,
     )
 
+    if use_pallas_sketch:
+        from sketch_rna_tpu.hash.pallas_hash import sketch_batch_pallas as _sketch
+    else:
+        _sketch = sketch_batch
     K = len(kmer_lengths)
     overflows, parts, drops = [], [], []
     for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
-        h, m, ov = sketch_batch(codes, lengths, k, sketch_fraction, cap)
+        h, m, ov = _sketch(codes, lengths, k, sketch_fraction, cap)
         overflows.append(ov)
         shift, mb = bucket_meta[ki]
         start, length = bucket_lookup(h, m, index_packed[ki], shift=shift, mb=mb)
@@ -140,6 +146,7 @@ def sketch_match_step(
         "expand_per_read",
         "candidate_capacity",
         "bucket_meta",
+        "use_pallas_sketch",
     ),
 )
 def match_scan(
@@ -155,6 +162,7 @@ def match_scan(
     expand_per_read: int,
     candidate_capacity: int,
     bucket_meta: Tuple[Tuple[int, int], ...],
+    use_pallas_sketch: bool = False,
 ):
     """Sketch + match over all batches in ONE device program (lax.scan)
     — no host roundtrips between batches.  Returns stacked candidate
@@ -178,6 +186,7 @@ def match_scan(
             expand_per_read=expand_per_read,
             candidate_capacity=candidate_capacity,
             bucket_meta=bucket_meta,
+            use_pallas_sketch=use_pallas_sketch,
         )
         dropped, spilled, sk_ov, ncm = carry
         n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
@@ -417,6 +426,7 @@ def _quantify_fused(
         expand_per_read=config.expand_per_read,
         candidate_capacity=config.candidate_capacity,
         bucket_meta=bucket_meta,
+        use_pallas_sketch=config.use_pallas_sketch,
     )
     # Tables are rank-ordered per read, so narrowing to the max per-read
     # candidate count is lossless and shrinks the EM working set (the
