@@ -96,21 +96,7 @@ def sketch_batch_pallas(
     """Drop-in replacement for sketch/fracminhash.sketch_batch with the
     hash+threshold stage as a Pallas kernel; dedup stays as the two row
     sorts (XLA's row sort is already near-optimal)."""
-    B, L = codes.shape
-    nk = L - k + 1
+    from sketch_rna_tpu.sketch.fracminhash import dedup_select
+
     hs = nthash_sketch_pallas(codes, lengths, k, fraction, interpret=interpret)
-    hs = jnp.sort(hs, axis=-1)
-    dup = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=jnp.bool_), hs[:, 1:] == hs[:, :-1]], axis=1
-    ) & (hs != jnp.uint32(_SENTINEL))
-    hs = jnp.where(dup, jnp.uint32(_SENTINEL), hs)
-    hs = jnp.sort(hs, axis=-1)
-    n_unique = jnp.sum((hs != jnp.uint32(_SENTINEL)).astype(jnp.int32), axis=-1)
-    if nk < capacity:
-        pad = jnp.full((B, capacity - nk), jnp.uint32(_SENTINEL), dtype=jnp.uint32)
-        hs = jnp.concatenate([hs, pad], axis=1)
-    else:
-        hs = hs[:, :capacity]
-    mask = hs != jnp.uint32(_SENTINEL)
-    n_overflow = jnp.sum(jnp.maximum(n_unique - capacity, 0))
-    return hs, mask, n_overflow.astype(jnp.int32)
+    return dedup_select(hs, capacity)

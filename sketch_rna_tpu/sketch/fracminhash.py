@@ -64,22 +64,46 @@ def sketch_batch(
     thr = jnp.uint32(fracminhash_threshold(fraction))
     keep = pos_ok & (h <= thr)
     hs = jnp.where(keep, h, _SENTINEL)
+    return dedup_select(hs, capacity)
+
+
+def dedup_select(hs: jnp.ndarray, capacity: int):
+    """Sort each row, drop duplicates, and select the first `capacity`
+    distinct values — ONE full-width row sort plus an unrolled in-row
+    binary search (rank-select), instead of a second full sort.
+
+    hs: [B, nk] uint32 with sentinel 0xFFFFFFFF on discarded lanes.
+    Returns (hashes [B, capacity] ascending sentinel-padded, mask,
+    n_overflow) exactly as sketch_batch documents.
+    """
+    B, nk = hs.shape
     hs = jnp.sort(hs, axis=-1)
-    # Mark duplicates (ascending => equal runs are adjacent); first stays.
+    # First occurrence of each distinct value (ascending => runs adjacent).
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=jnp.bool_), hs[:, 1:] == hs[:, :-1]], axis=1
     ) & (hs != _SENTINEL)
-    hs = jnp.where(dup, _SENTINEL, hs)
-    hs = jnp.sort(hs, axis=-1)
-    n_unique = jnp.sum((hs != _SENTINEL).astype(jnp.int32), axis=-1)
-    if nk < capacity:
-        pad = jnp.full((B, capacity - nk), _SENTINEL, dtype=jnp.uint32)
-        hs = jnp.concatenate([hs, pad], axis=1)
-    else:
-        hs = hs[:, :capacity]
-    mask = hs != _SENTINEL
-    n_overflow = jnp.sum(jnp.maximum(n_unique - capacity, 0))
-    return hs, mask, n_overflow.astype(jnp.int32)
+    valid = (hs != _SENTINEL) & jnp.logical_not(dup)
+    cum = jnp.cumsum(valid.astype(jnp.int32), axis=1)  # [B, nk] non-decr
+    n_unique = cum[:, -1]
+
+    cap = capacity
+    t1 = jnp.arange(1, cap + 1, dtype=jnp.int32)[None, :]  # want rank t1
+    # lower_bound: first position p with cum[p] >= t1.
+    sp = 1
+    while sp < nk:
+        sp <<= 1
+    lo = jnp.zeros((B, cap), jnp.int32)
+    step = sp >> 1
+    while step:
+        nxt = lo + step
+        cval = jnp.take_along_axis(cum, jnp.minimum(nxt - 1, nk - 1), axis=1)
+        lo = jnp.where((nxt <= nk) & (cval < t1), nxt, lo)
+        step >>= 1
+    out = jnp.take_along_axis(hs, jnp.minimum(lo, nk - 1), axis=1)
+    mask = t1 <= n_unique[:, None]
+    out = jnp.where(mask, out, _SENTINEL)
+    n_overflow = jnp.sum(jnp.maximum(n_unique - cap, 0))
+    return out, mask, n_overflow.astype(jnp.int32)
 
 
 def sketch_scalar(codes, k: int, fraction: float) -> set:
