@@ -1,0 +1,38 @@
+"""The fused single-program path and the streaming host-collection path
+must produce identical results."""
+
+import numpy as np
+
+import sketch_rna_tpu.pipeline as pl
+from sketch_rna_tpu.config import QuantConfig
+from sketch_rna_tpu.index.build import build_index
+from sketch_rna_tpu.io.fasta import FastaRecords
+from sketch_rna_tpu.io.packing import PackedReads
+
+from util import decode, make_transcriptome, sample_reads
+
+
+def test_fused_equals_streaming(monkeypatch):
+    rng = np.random.default_rng(321)
+    seqs = make_transcriptome(rng, n=15, len_range=(60, 500))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(kmer_lengths=(31,), batch_size=64, max_read_len=128, em_dtype="float64")
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=150, read_len=100) if r.size >= 31]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    fused = pl.quantify(idx, packed, cfg)
+    monkeypatch.setattr(pl, "FUSED_MAX_PADDED_READS", 0)
+    streaming = pl.quantify(idx, packed, cfg)
+
+    np.testing.assert_allclose(fused.pi, streaming.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        fused.weighted_counts, streaming.weighted_counts, rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_array_equal(fused.has_entry, streaming.has_entry)
+    assert fused.em_iterations == streaming.em_iterations
