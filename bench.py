@@ -41,23 +41,11 @@ def build_problem():
     from sketch_rna_tpu.index.build import build_index
     from sketch_rna_tpu.io.fasta import FastaRecords
     from sketch_rna_tpu.io.packing import PackedReads
+    from sketch_rna_tpu.utils.synth import sample_reads_device, synth_transcriptome
 
     rng = np.random.default_rng(SEED)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    seqs = []
-    while len(seqs) < N_TRANSCRIPTS:
-        ln = int(rng.integers(*TRANSCRIPT_LEN))
-        base = rng.integers(0, 4, size=ln).astype(np.uint8)
-        seqs.append(base)
-        # Two isoforms sharing most of the sequence.
-        for _ in range(2):
-            if len(seqs) >= N_TRANSCRIPTS:
-                break
-            a = int(rng.integers(0, ln // 3))
-            b = int(rng.integers(a, ln))
-            iso = np.concatenate([base[:a], base[b:], rng.integers(0, 4, size=50).astype(np.uint8)])
-            if iso.size >= 100:
-                seqs.append(iso.astype(np.uint8))
+    seqs = synth_transcriptome(rng, N_TRANSCRIPTS, *TRANSCRIPT_LEN)
     names = [f"T{i:05d}" for i in range(len(seqs))]
     recs = FastaRecords(names, [bases[s].tobytes().decode() for s in seqs], 0)
     cfg = QuantConfig(
@@ -70,18 +58,10 @@ def build_problem():
     idx = build_index(recs, cfg)
     t_index = time.perf_counter() - t0
 
-    codes = np.zeros((N_READS, cfg.max_read_len), np.uint8)
-    lengths = np.full(N_READS, READ_LEN, np.int32)
-    picks = rng.integers(0, len(seqs), size=N_READS)
-    for i in range(N_READS):
-        t = seqs[picks[i]]
-        if t.size <= READ_LEN:
-            codes[i, : t.size] = t
-            lengths[i] = t.size
-        else:
-            start = int(rng.integers(0, t.size - READ_LEN + 1))
-            codes[i, :READ_LEN] = t[start : start + READ_LEN]
-    packed = PackedReads(codes, lengths, [str(i) for i in range(N_READS)])
+    # Reads are sampled ON DEVICE (host loops are far too slow) and stay
+    # there; the fused quant path consumes device arrays directly.
+    codes, lengths = sample_reads_device(seqs, N_READS, READ_LEN, cfg.max_read_len, SEED)
+    packed = PackedReads(codes, lengths, [])
     return cfg, idx, packed, t_index
 
 

@@ -15,43 +15,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def synth_transcriptome(rng, n, len_lo=600, len_hi=2500, iso_frac=0.6):
-    seqs = []
-    while len(seqs) < n:
-        ln = int(rng.integers(len_lo, len_hi))
-        base = rng.integers(0, 4, size=ln).astype(np.uint8)
-        seqs.append(base)
-        while len(seqs) < n and rng.random() < iso_frac:
-            a = int(rng.integers(0, ln // 3))
-            b = int(rng.integers(a, ln))
-            iso = np.concatenate(
-                [base[:a], base[b:], rng.integers(0, 4, size=50).astype(np.uint8)]
-            )
-            if iso.size >= 100:
-                seqs.append(iso.astype(np.uint8))
-    return seqs[:n]
-
-
-def synth_reads_vectorized(rng, seqs, n_reads, read_len):
-    """Vectorized read sampling: one big gather over the concatenated
-    transcriptome."""
-    big = np.concatenate(seqs)
-    lens = np.array([s.size for s in seqs], dtype=np.int64)
-    offs = np.zeros(lens.size + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    tid = rng.integers(0, len(seqs), size=n_reads)
-    span = np.maximum(lens[tid] - read_len, 0)
-    start = (rng.random(n_reads) * (span + 1)).astype(np.int64)
-    eff_len = np.minimum(lens[tid], read_len).astype(np.int32)
-    gstart = offs[tid] + start
-    idx = gstart[:, None] + np.arange(read_len, dtype=np.int64)[None, :]
-    idx = np.minimum(idx, offs[tid][:, None] + lens[tid][:, None] - 1)
-    codes = big[idx]
-    mask = np.arange(read_len)[None, :] < eff_len[:, None]
-    codes = np.where(mask, codes, 0).astype(np.uint8)
-    return codes, eff_len
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--transcripts", type=int, default=50000)
@@ -67,6 +30,7 @@ def main():
     from sketch_rna_tpu.index.build import build_index
     from sketch_rna_tpu.io.fasta import FastaRecords
     from sketch_rna_tpu.io.packing import PackedReads
+    from sketch_rna_tpu.utils.synth import sample_reads_device, synth_transcriptome
 
     ks = tuple(int(x) for x in args.k.split(","))
     rng = np.random.default_rng(2026)
@@ -91,22 +55,23 @@ def main():
     idx = build_index(recs, cfg)
     t_index = time.perf_counter() - t0
     tot_post = {k: idx.per_k[k].num_postings for k in ks}
-    print(f"index: {t_index:.1f}s, keys={{k: idx.per_k[k].num_keys for k in ks}} "
+    print(f"index: {t_index:.1f}s, keys={ {k: idx.per_k[k].num_keys for k in ks} } "
           f"postings={tot_post}", flush=True)
 
     t0 = time.perf_counter()
-    codes, lens = synth_reads_vectorized(rng, seqs, args.reads, args.read_len)
-    pad = cfg.max_read_len
-    full = np.zeros((args.reads, pad), np.uint8)
-    full[:, : args.read_len] = codes
-    packed = PackedReads(full, lens, [str(i) for i in range(args.reads)])
-    print(f"reads: {args.reads} in {time.perf_counter()-t0:.1f}s", flush=True)
+    import jax
+
+    codes, lens = sample_reads_device(seqs, args.reads, args.read_len, cfg.max_read_len, 7)
+    jax.block_until_ready((codes, lens))
+    packed = PackedReads(codes, lens, [])
+    print(f"reads: {args.reads} in {time.perf_counter()-t0:.1f}s (device)", flush=True)
 
     if args.streaming:
         pl_cap = pl.FUSED_MAX_PADDED_READS
         pl.FUSED_MAX_PADDED_READS = 0
-    # warm-up on a slice to absorb compiles
-    warm = PackedReads(full[: args.batch_size * 2], lens[: args.batch_size * 2], [])
+    # warm-up on a slice to absorb compiles (same nb as the main run so
+    # the scan program is reused would need full size; use 2 batches)
+    warm = PackedReads(codes[: args.batch_size * 2], lens[: args.batch_size * 2], [])
     pl.quantify(idx, warm, cfg)
 
     t0 = time.perf_counter()

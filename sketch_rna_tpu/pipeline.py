@@ -406,17 +406,22 @@ def _quantify_fused(
     B = config.batch_size
     N = nb * B
     L = packed.padded_len
-    codes_all = np.zeros((nb, B, L), np.uint8)
-    lengths_all = np.zeros((nb, B), np.int32)
-    flat_codes = codes_all.reshape(N, L)
-    flat_codes[: packed.num_reads] = packed.codes
-    lengths_all.reshape(N)[: packed.num_reads] = packed.lengths
+    # Pad/reshape on DEVICE: one H2D transfer of the raw arrays, no big
+    # host-side copies (host array ops are orders of magnitude slower
+    # than the transfer on weak-CPU hosts).
+    R = packed.num_reads
+    codes_all = jnp.pad(jnp.asarray(packed.codes), ((0, N - R), (0, 0))).reshape(
+        nb, B, L
+    )
+    lengths_all = jnp.pad(
+        jnp.asarray(packed.lengths, dtype=jnp.int32), (0, N - R)
+    ).reshape(nb, B)
 
     from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
 
     tbl_tid, tbl_score, n_cand_max, stats = match_scan(
-        jnp.asarray(codes_all),
-        jnp.asarray(lengths_all),
+        codes_all,
+        lengths_all,
         tuple(jnp.asarray(a) for a in bpacked),
         tuple(jnp.asarray(a) for a in postings),
         kmer_lengths=ks,
