@@ -36,14 +36,16 @@ class QuantConfig:
 
     # --- TPU capacity / batching knobs ----------------------------------
     # Max reads per device batch through the hash+match kernels.
-    batch_size: int = 4096
+    batch_size: int = 8192
     # Padded read length (reads are padded/bucketed to this many bases).
     max_read_len: int = 256
     # Per-read, per-k sketch capacity (distinct kept hashes). Expected kept
     # count is ~fraction*(L-k+1); default leaves generous headroom.
     sketch_capacity: int = 32
-    # Ragged posting-expansion budget per read per k (flat candidate pairs).
-    expand_per_read: int = 256
+    # Posting-expansion budget per read per k (event lanes). Actual event
+    # counts on transcriptome-like data run ~30-60/read; overflow is
+    # counted and reported, never silent.
+    expand_per_read: int = 128
     # Max candidate transcripts retained per read after thresholding
     # (reference keeps all; overflow keeps top-score and is counted).
     candidate_capacity: int = 64
