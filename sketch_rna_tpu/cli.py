@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: float64 on CPU backend, float32 on TPU")
     p.add_argument("--no-native", action="store_true",
                    help="disable the native (C++) FASTQ parser")
+    p.add_argument("--sharded", action="store_true",
+                   help="run quant over all visible devices via the shard_map "
+                   "pipeline (data-parallel reads x hash-range-sharded index)")
     p.add_argument("--tpm", action="store_true",
                    help="append a true-TPM column (length-normalized; the "
                    "reference promises TPM but never computes it)")
@@ -158,6 +161,7 @@ def run_quant(
     config: QuantConfig,
     use_native: bool = True,
     with_tpm: bool = False,
+    sharded: bool = False,
 ) -> None:
     from sketch_rna_tpu.index.refbin import load_any_index
     from sketch_rna_tpu.io.fastq import load_fastq_dict
@@ -194,7 +198,12 @@ def run_quant(
     packed = _load_reads(reads_path, idx, config, use_native)
     print("Loading read completed")
 
-    result = quantify(idx, packed, config)
+    if sharded:
+        from sketch_rna_tpu.pipeline import quantify_sharded
+
+        result = quantify_sharded(idx, packed, config)
+    else:
+        result = quantify(idx, packed, config)
     print("Sparse chaining completed")
     print("EM estimation completed")
     print("Read assignment completed")
@@ -233,6 +242,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             config,
             use_native=not args.no_native,
             with_tpm=args.tpm,
+            sharded=args.sharded,
         )
     return 0
 

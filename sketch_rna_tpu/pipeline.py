@@ -476,6 +476,78 @@ def _quantify_fused(
     )
 
 
+def quantify_sharded(
+    index: IndexArtifact,
+    packed: PackedReads,
+    config: Optional[QuantConfig] = None,
+    mesh=None,
+) -> QuantResult:
+    """Multi-device quant via the shard_map pipeline (dist/quant_sharded):
+    reads data-parallel, index hash-range-sharded, EM psum per iteration.
+
+    With mesh=None, builds a mesh over all visible devices
+    (dist.mesh.mesh_factor decides the data/index split).  Results are
+    identical to quantify() (asserted in tests/test_sharded.py).
+    """
+    import jax
+
+    from sketch_rna_tpu.dist.mesh import make_mesh, mesh_factor
+    from sketch_rna_tpu.dist.quant_sharded import quant_step_sharded
+    from sketch_rna_tpu.index.shard import shard_index_arrays
+
+    config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
+    if mesh is None:
+        dp, ip = mesh_factor(len(jax.devices()))
+        mesh = make_mesh(dp, ip)
+    dp = mesh.shape["data"]
+    ip = mesh.shape["index"]
+
+    R = packed.num_reads
+    B = ((R + dp - 1) // dp) * dp
+    codes = jnp.pad(jnp.asarray(packed.codes), ((0, B - R), (0, 0)))
+    lengths = jnp.pad(jnp.asarray(packed.lengths, dtype=jnp.int32), (0, B - R))
+
+    shards = shard_index_arrays(index, ip)
+    ks = tuple(index.kmer_lengths)
+    keys = tuple(jnp.asarray(shards[k][0]) for k in ks)
+    row_ptr = tuple(jnp.asarray(shards[k][1]) for k in ks)
+    postings = tuple(jnp.asarray(shards[k][2]) for k in ks)
+    caps = tuple(config.sketch_capacity_for(k) for k in ks)
+
+    pi, weighted, has_entry, iters, stats = quant_step_sharded(
+        codes,
+        lengths,
+        keys,
+        row_ptr,
+        postings,
+        jnp.asarray(R, jnp.int32),
+        mesh=mesh,
+        kmer_lengths=ks,
+        sketch_fraction=config.sketch_fraction,
+        sketch_caps=caps,
+        chain_fraction=config.chain_fraction,
+        expand_per_read=config.expand_per_read,
+        candidate_capacity=config.candidate_capacity,
+        num_transcripts=index.num_transcripts,
+        em_max_iterations=config.em_max_iterations,
+        em_convergence=config.em_convergence,
+        pseudocount=config.pseudocount,
+        em_epsilon=config.em_epsilon,
+        em_dtype=config.em_dtype,
+    )
+    host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
+    return QuantResult(
+        names=list(index.names),
+        pi=np.asarray(pi),
+        weighted_counts=np.asarray(weighted),
+        has_entry=np.asarray(has_entry),
+        em_iterations=int(iters),
+        num_reads=R,
+        stats=host_stats,
+        lengths=np.asarray(index.lengths),
+    )
+
+
 def quantify_samples(
     index: IndexArtifact,
     samples: Dict[str, PackedReads],

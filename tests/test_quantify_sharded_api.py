@@ -1,0 +1,53 @@
+"""quantify_sharded public API (auto mesh over all devices) equals the
+single-device quantify, and works through the CLI flag."""
+
+import numpy as np
+
+from sketch_rna_tpu.cli import main as cli_main
+from sketch_rna_tpu.config import QuantConfig
+from sketch_rna_tpu.index.build import build_index
+from sketch_rna_tpu.io.fasta import FastaRecords
+from sketch_rna_tpu.io.packing import PackedReads
+from sketch_rna_tpu.pipeline import quantify, quantify_sharded
+
+from util import decode, make_transcriptome, sample_reads, write_fasta, write_fastq
+
+
+def test_quantify_sharded_auto_mesh():
+    rng = np.random.default_rng(55)
+    seqs = make_transcriptome(rng, n=12, len_range=(60, 400))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(kmer_lengths=(31,), batch_size=64, max_read_len=128, em_dtype="float64")
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=100, read_len=90) if r.size >= 31]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    a = quantify(idx, packed, cfg)
+    b = quantify_sharded(idx, packed, cfg)
+    np.testing.assert_allclose(a.pi, b.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(a.weighted_counts, b.weighted_counts, rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(a.has_entry, b.has_entry)
+    assert a.em_iterations == b.em_iterations
+
+
+def test_cli_sharded_flag(tmp_path):
+    rng = np.random.default_rng(56)
+    seqs = make_transcriptome(rng, n=8, len_range=(60, 300))
+    names = [f"T{i}" for i in range(len(seqs))]
+    fasta = tmp_path / "r.fa"
+    fq = tmp_path / "r.fq"
+    write_fasta(str(fasta), names, [decode(s) for s in seqs])
+    reads = sample_reads(rng, seqs, n_reads=50, read_len=80)
+    write_fastq(str(fq), [f"r{i}" for i in range(len(reads))], [decode(r) for r in reads])
+    idx = str(tmp_path / "r.npz")
+    out_a = str(tmp_path / "a.csv")
+    out_b = str(tmp_path / "b.csv")
+    assert cli_main(["-o", "index", str(fasta), idx]) == 0
+    assert cli_main(["-o", "quant", idx, str(fq), out_a]) == 0
+    assert cli_main(["-o", "quant", "--sharded", idx, str(fq), out_b]) == 0
+    assert open(out_a).read() == open(out_b).read()
