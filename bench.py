@@ -32,7 +32,7 @@ N_TRANSCRIPTS = 2000
 TRANSCRIPT_LEN = (600, 2500)
 N_READS = 131072
 READ_LEN = 150
-BATCH = 16384
+BATCH = 8192
 SEED = 1234
 
 

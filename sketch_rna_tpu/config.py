@@ -42,10 +42,10 @@ class QuantConfig:
     # Per-read, per-k sketch capacity (distinct kept hashes). Expected kept
     # count is ~fraction*(L-k+1); default leaves generous headroom.
     sketch_capacity: int = 32
-    # Posting-expansion budget per read per k (event lanes). Actual event
-    # counts on transcriptome-like data run ~30-60/read; overflow is
-    # counted and reported, never silent.
-    expand_per_read: int = 128
+    # Posting-expansion budget per read per k (event lanes). Hot reads on
+    # isoform-family data genuinely need >128 (measured: 128 drops events
+    # on the bench transcriptome); overflow is counted, never silent.
+    expand_per_read: int = 256
     # Max candidate transcripts retained per read after thresholding
     # (reference keeps all; overflow keeps top-score and is counted).
     candidate_capacity: int = 64
