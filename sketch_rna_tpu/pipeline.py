@@ -318,6 +318,74 @@ def collect_pairs(
     return pr, pt, ps, stats
 
 
+def collect_tables(
+    index: IndexArtifact,
+    packed: PackedReads,
+    config: QuantConfig,
+):
+    """Streaming sketch+match with candidate tables kept ON DEVICE.
+
+    For datasets beyond the fused path's HBM budget: each batch's
+    [B, C] table is narrowed to its own max candidate count (lossless;
+    tables are rank-ordered) and retained on device; only one scalar
+    (the batch's candidate-width) syncs to the host per batch.  Returns
+    (tbl_tid [N, W], tbl_score [N, W], stats) with N = nb*B padded rows.
+    """
+    ks = tuple(index.kmer_lengths)
+    caps = tuple(config.sketch_capacity_for(k) for k in ks)
+    bpacked, postings, bucket_meta = _device_index(index, ks)
+    bpacked = tuple(jnp.asarray(a) for a in bpacked)
+    postings = tuple(jnp.asarray(a) for a in postings)
+
+    B = config.batch_size
+    pending = []
+    for codes, lengths, row0 in packed.batches(B):
+        out = sketch_match_step(
+            jnp.asarray(codes),
+            jnp.asarray(lengths),
+            bpacked,
+            postings,
+            kmer_lengths=ks,
+            sketch_fraction=config.sketch_fraction,
+            sketch_caps=caps,
+            chain_fraction=config.chain_fraction,
+            expand_per_read=config.expand_per_read,
+            candidate_capacity=config.candidate_capacity,
+            bucket_meta=bucket_meta,
+            use_pallas_sketch=config.use_pallas_sketch,
+        )
+        pending.append(out)
+
+    stats = {"expand_dropped": 0, "candidate_spilled": 0, "sketch_overflow": 0}
+    slices = []
+    w_max = 1
+    for tid, score, mask, s in pending:
+        n_cand = int(jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1)))
+        w = 1 << max(n_cand - 1, 0).bit_length() if n_cand > 1 else 1
+        w = min(max(w, 1), config.candidate_capacity)
+        w_max = max(w_max, w)
+        slices.append(
+            (
+                jax.lax.slice_in_dim(tid, 0, w, axis=1),
+                jax.lax.slice_in_dim(jnp.where(mask, score, 0), 0, w, axis=1),
+            )
+        )
+        stats["expand_dropped"] += int(np.asarray(s["expand_dropped"]).sum())
+        stats["candidate_spilled"] += int(np.asarray(s["candidate_spilled"]))
+        stats["sketch_overflow"] += int(np.asarray(s["sketch_overflow"]).sum())
+
+    tbl_tid = jnp.concatenate(
+        [jnp.pad(t, ((0, 0), (0, w_max - t.shape[1]))) for t, _ in slices]
+    )
+    tbl_score = jnp.concatenate(
+        [jnp.pad(sc, ((0, 0), (0, w_max - sc.shape[1]))) for _, sc in slices]
+    )
+    for key, v in stats.items():
+        if v:
+            log.warning("capacity overflow during matching: %s=%d", key, v)
+    return tbl_tid, tbl_score, stats
+
+
 def _pad_pairs(pr, pt, ps, read_capacity: int, multiple: int = 1024):
     n = pr.shape[0]
     padded = max(((n + multiple - 1) // multiple) * multiple, multiple)
@@ -356,18 +424,17 @@ def quantify(
         result.timing = timer.report()
         return result
 
+    from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
+
     with timer.phase("sketch_match", items=R):
-        pr, pt, ps, stats = collect_pairs(index, packed, config)
-    pr_p, pt_p, ps_p = _pad_pairs(pr, pt, ps, read_capacity=R)
+        tbl_tid, tbl_score, stats = collect_tables(index, packed, config)
 
     with timer.phase("em", items=config.em_max_iterations):
-        pi, iters = run_em(
-            jnp.asarray(pr_p),
-            jnp.asarray(pt_p),
-            jnp.asarray(ps_p),
+        pi, iters = run_em_tables(
+            tbl_tid,
+            tbl_score,
             jnp.asarray(R, dtype=jnp.int32),
             num_transcripts=T,
-            read_capacity=R,
             max_iterations=config.em_max_iterations,
             convergence_threshold=config.em_convergence,
             pseudocount=config.pseudocount,
@@ -375,13 +442,11 @@ def quantify(
             dtype=config.em_dtype,
         )
     with timer.phase("assignment"):
-        weighted, has_entry = assign_reads(
-            jnp.asarray(pr_p),
-            jnp.asarray(pt_p),
-            jnp.asarray(ps_p),
+        weighted, has_entry = assign_reads_tables(
+            tbl_tid,
+            tbl_score,
             pi,
             num_transcripts=T,
-            read_capacity=R,
             dtype=config.em_dtype,
         )
     return QuantResult(
