@@ -69,10 +69,9 @@ def main():
     if args.streaming:
         pl_cap = pl.FUSED_MAX_PADDED_READS
         pl.FUSED_MAX_PADDED_READS = 0
-    # warm-up on a slice to absorb compiles (same nb as the main run so
-    # the scan program is reused would need full size; use 2 batches)
-    warm = PackedReads(codes[: args.batch_size * 2], lens[: args.batch_size * 2], [])
-    pl.quantify(idx, warm, cfg)
+    # warm-up run at FULL shape to absorb compiles (the scan program is
+    # shape-specialized on the batch count).
+    pl.quantify(idx, packed, cfg)
 
     t0 = time.perf_counter()
     result = pl.quantify(idx, packed, cfg)

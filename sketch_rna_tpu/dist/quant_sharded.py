@@ -91,6 +91,7 @@ def _body(
         num_k=K,
         chain_fraction=chain_fraction,
         candidate_capacity=candidate_capacity,
+        num_transcripts=num_transcripts,
     )
 
     tbl_tid = result.tid

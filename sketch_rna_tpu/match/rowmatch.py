@@ -126,11 +126,16 @@ def row_events_to_candidates(
     num_k: int,
     chain_fraction: float,
     candidate_capacity: int,
+    num_transcripts: int = 0,
 ) -> MatchResult:
     """Group packed event keys row-wise into per-read top-C candidates.
 
     keym: [B, W] int32 packed keys tid*K + k (sentinel INT32_MAX), any
     lane order (sorted here).
+
+    num_transcripts (optional): when the transcript count is small enough
+    that (rank, tid) packs into 31 bits, the top-C selection runs as a
+    single-operand row sort instead of a 3-operand lexicographic sort.
     """
     B, W = keym.shape
     K = num_k
@@ -187,10 +192,24 @@ def row_events_to_candidates(
     # Top-C by (score desc, tid asc): one more row sort.
     big = jnp.int32(W + 2)
     prim = jnp.where(meets, (W + 1) - score, big)
-    s_prim, s_tid, s_score = jax.lax.sort((prim, tid, score), num_keys=2)
-    tbl_mask = s_prim[:, :C] < big
-    tbl_tid = jnp.where(tbl_mask, s_tid[:, :C], 0)
-    tbl_score = jnp.where(tbl_mask, s_score[:, :C], 0)
+    prim_bits = int(W + 2).bit_length()
+    tid_bits = 31 - prim_bits
+    if 0 < num_transcripts <= (1 << tid_bits):
+        # Pack (rank, tid) into one int32: single-operand row sort.
+        # Non-candidate lanes carry sentinel-derived tids far beyond T;
+        # zero them (their rank byte already sorts them last).
+        tid_c = jnp.where(meets, tid, 0)
+        packed = (prim << tid_bits) | tid_c
+        s_packed = jnp.sort(packed, axis=-1)[:, :C]
+        s_prim_c = s_packed >> tid_bits
+        tbl_mask = s_prim_c < big
+        tbl_tid = jnp.where(tbl_mask, s_packed & ((1 << tid_bits) - 1), 0)
+        tbl_score = jnp.where(tbl_mask, (W + 1) - s_prim_c, 0)
+    else:
+        s_prim, s_tid, s_score = jax.lax.sort((prim, tid, score), num_keys=2)
+        tbl_mask = s_prim[:, :C] < big
+        tbl_tid = jnp.where(tbl_mask, s_tid[:, :C], 0)
+        tbl_score = jnp.where(tbl_mask, s_score[:, :C], 0)
 
     n_cand = jnp.sum(meets.astype(jnp.int32), axis=1)
     stats = {"candidate_spilled": jnp.sum(jnp.maximum(n_cand - C, 0))}
@@ -207,6 +226,7 @@ def row_match(
     chain_fraction: float,
     events_per_read: int,
     candidate_capacity: int,
+    num_transcripts: int = 0,
 ) -> MatchResult:
     """Full row-parallel match against a local (replicated) index."""
     K = len(sketch_hashes)
@@ -230,6 +250,7 @@ def row_match(
         num_k=K,
         chain_fraction=chain_fraction,
         candidate_capacity=candidate_capacity,
+        num_transcripts=num_transcripts,
     )
     result.stats["expand_dropped"] = jnp.stack(drops)
     return result

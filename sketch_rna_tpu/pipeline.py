@@ -73,6 +73,7 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
         "candidate_capacity",
         "bucket_meta",
         "use_pallas_sketch",
+        "num_transcripts",
     ),
 )
 def sketch_match_step(
@@ -89,6 +90,7 @@ def sketch_match_step(
     candidate_capacity: int,
     bucket_meta: Tuple[Tuple[int, int], ...],
     use_pallas_sketch: bool = False,
+    num_transcripts: int = 0,
 ):
     """One device batch: per-k sketching + candidate matching.
 
@@ -129,6 +131,7 @@ def sketch_match_step(
         num_k=K,
         chain_fraction=chain_fraction,
         candidate_capacity=candidate_capacity,
+        num_transcripts=num_transcripts,
     )
     stats = dict(result.stats)
     stats["expand_dropped"] = jnp.stack(drops)
@@ -147,6 +150,7 @@ def sketch_match_step(
         "candidate_capacity",
         "bucket_meta",
         "use_pallas_sketch",
+        "num_transcripts",
     ),
 )
 def match_scan(
@@ -163,6 +167,7 @@ def match_scan(
     candidate_capacity: int,
     bucket_meta: Tuple[Tuple[int, int], ...],
     use_pallas_sketch: bool = False,
+    num_transcripts: int = 0,
 ):
     """Sketch + match over all batches in ONE device program (lax.scan)
     — no host roundtrips between batches.  Returns stacked candidate
@@ -187,6 +192,7 @@ def match_scan(
             candidate_capacity=candidate_capacity,
             bucket_meta=bucket_meta,
             use_pallas_sketch=use_pallas_sketch,
+            num_transcripts=num_transcripts,
         )
         dropped, spilled, sk_ov, ncm = carry
         n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
@@ -353,6 +359,7 @@ def collect_tables(
             candidate_capacity=config.candidate_capacity,
             bucket_meta=bucket_meta,
             use_pallas_sketch=config.use_pallas_sketch,
+            num_transcripts=index.num_transcripts,
         )
         pending.append(out)
 
@@ -497,6 +504,7 @@ def _quantify_fused(
         candidate_capacity=config.candidate_capacity,
         bucket_meta=bucket_meta,
         use_pallas_sketch=config.use_pallas_sketch,
+        num_transcripts=index.num_transcripts,
     )
     # Tables are rank-ordered per read, so narrowing to the max per-read
     # candidate count is lossless and shrinks the EM working set (the
