@@ -7,18 +7,23 @@ build_kmer_to_transcript_map, src/sketch.cpp:51-74):
   - per transcript per k: FracMinHash sketch (a set),
   - inverted map: hash -> list of transcript ids.
 
-TPU-first shape: the hashing (the O(total bases) hot loop) runs on device
-in length-bucketed batches via the windowed ntHash; set-dedup and CSR
-assembly are a one-off host finalization (np.unique over (hash, tid)
-pairs), since index build is offline and bandwidth-trivial next to quant
-(SURVEY.md §7.2 step 3).
+TPU-first shape (SURVEY.md §7.2 step 3): ALL heavy array work runs on
+device —
+  1. per length-bucketed batch: windowed ntHash + threshold mask, then a
+     row sort that compacts each transcript's kept hashes to the front
+     of its row (discarded lanes carry the 0xFFFFFFFF sentinel),
+  2. one global device sort of the concatenated (hash, tid) pairs,
+  3. the host does only linear boundary scans to dedup pairs (set
+     semantics) and emit the CSR arrays.
+The host never runs per-transcript set operations (a Python np.unique
+loop is minutes-to-hours at GENCODE scale on weak-CPU hosts).
 """
 
 from __future__ import annotations
 
 import functools
 import logging
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,37 +40,37 @@ log = logging.getLogger(__name__)
 
 # Cap on elements per device hashing batch (B * L).
 _BATCH_ELEMENT_BUDGET = 1 << 24
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
-def _hash_keep_batch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, thr: int):
-    """[B, L] codes -> (hashes [B, L-k+1] u32, keep mask)."""
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _hash_sorted_batch(codes, lengths, k, thr):
+    """[B, L] codes -> (row-sorted kept hashes [B, L-k+1] u32 with
+    sentinel tail, kept count per row [B] i32)."""
     h = nthash_batch_u32(codes, k)
     nk = h.shape[1]
     pos_ok = jnp.arange(nk, dtype=jnp.int32)[None, :] < (lengths[:, None] - (k - 1))
     keep = pos_ok & (h <= jnp.uint32(thr))
-    return h, keep
+    hs = jnp.sort(jnp.where(keep, h, jnp.uint32(0xFFFFFFFF)), axis=1)
+    n_kept = jnp.sum(keep.astype(jnp.int32), axis=1)
+    return hs, n_kept
 
 
-# Index build is offline and bucket shapes vary; pin its hashing to the
-# CPU backend so it never burns (slow, remote) TPU compiles per bucket.
-# The quant hot path is unaffected.
+@functools.partial(jax.jit, static_argnums=())
+def _global_pair_sort(hashes, tids):
+    """Lexicographic device sort of (hash, tid) pairs."""
+    return jax.lax.sort((hashes, tids), num_keys=2)
+
+
 @functools.lru_cache(maxsize=1)
 def _cpu_device():
+    """Index build is offline with many bucket shapes; pin to CPU so it
+    never burns slow remote-TPU compiles per bucket shape.  The big
+    global pair sort still goes wherever the default backend lives."""
     try:
         return jax.devices("cpu")[0]
     except RuntimeError:
         return None
-
-
-def _hash_keep_batch_jit(codes, lengths, k, thr):
-    dev = _cpu_device()
-    if dev is not None:
-        codes = jax.device_put(codes, dev)
-        lengths = jax.device_put(lengths, dev)
-    return _hash_keep_batch_compiled(codes, lengths, k, thr)
-
-
-_hash_keep_batch_compiled = jax.jit(_hash_keep_batch, static_argnums=(2, 3))
 
 
 def _bucketize(lengths: Sequence[int]) -> Dict[int, List[int]]:
@@ -93,12 +98,13 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
 
     # Sketchable set: length >= every configured k (src/main.cpp:66-75).
     sketchable = [i for i in range(len(names)) if lengths[i] >= max_k]
-    thr_cache = {k: fracminhash_threshold(config.sketch_fraction) for k in ks}
+    thr = fracminhash_threshold(config.sketch_fraction)
+    cpu = _cpu_device()
 
     per_k: Dict[int, KIndex] = {}
     for k in ks:
-        pair_hashes: List[np.ndarray] = []
-        pair_tids: List[np.ndarray] = []
+        hash_parts: List[np.ndarray] = []
+        tid_parts: List[np.ndarray] = []
         buckets = _bucketize([int(lengths[i]) for i in sketchable])
         for pad_len, rows in buckets.items():
             ids = [sketchable[r] for r in rows]
@@ -112,30 +118,70 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
                     c = seq_codes[tid]
                     codes[r, : c.size] = c
                     lens[r] = c.size
-                h, keep = _hash_keep_batch_jit(codes, lens, k, thr_cache[k])
-                h = np.asarray(h)
-                keep = np.asarray(keep)
+                cj, lj = (codes, lens)
+                if cpu is not None:
+                    cj = jax.device_put(codes, cpu)
+                    lj = jax.device_put(lens, cpu)
+                hs, n_kept = _hash_sorted_batch(cj, lj, k, thr)
+                hs = np.asarray(hs)
+                n_kept = np.asarray(n_kept)
                 for r, tid in enumerate(chunk):
-                    hk = np.unique(h[r][keep[r]])  # set semantics per transcript
-                    if hk.size:
-                        pair_hashes.append(hk)
-                        pair_tids.append(np.full(hk.size, tid, dtype=np.int32))
+                    n = int(n_kept[r])
+                    if n:
+                        hash_parts.append(hs[r, :n])
+                        tid_parts.append(np.full(n, tid, dtype=np.int32))
 
-        if pair_hashes:
-            all_h = np.concatenate(pair_hashes)
-            all_t = np.concatenate(pair_tids)
+        if hash_parts:
+            all_h = np.concatenate(hash_parts)
+            all_t = np.concatenate(tid_parts)
+            n_real = all_h.size
+            if n_real > 1 << 16:
+                # Big pair sort on the accelerator; pad to a power of two
+                # (sentinel pairs sort last) to bound compile variants.
+                padded = 1 << (n_real - 1).bit_length()
+                ph = np.full(padded, _SENTINEL, dtype=np.uint32)
+                pt = np.zeros(padded, dtype=np.int32)
+                ph[:n_real] = all_h
+                pt[:n_real] = all_t
+                sh, st = _global_pair_sort(jnp.asarray(ph), jnp.asarray(pt))
+                all_h = np.asarray(sh)[:n_real]
+                all_t = np.asarray(st)[:n_real]
+            else:
+                order = np.lexsort((all_t, all_h))
+                all_h, all_t = all_h[order], all_t[order]
         else:
             all_h = np.zeros(0, dtype=np.uint32)
             all_t = np.zeros(0, dtype=np.int32)
-        # Sort postings by (hash, tid); pairs are already distinct
-        # because dedup happened per transcript.
-        order = np.lexsort((all_t, all_h))
-        all_h = all_h[order]
-        all_t = all_t[order]
-        keys, counts = np.unique(all_h, return_counts=True)
-        row_ptr = np.zeros(keys.size + 1, dtype=np.int32)
-        np.cumsum(counts, out=row_ptr[1:])
-        per_k[k] = KIndex(keys=keys.astype(np.uint32), row_ptr=row_ptr, postings=all_t)
+
+        # Linear host scans: dedup (hash, tid) pairs (set semantics —
+        # duplicates arise from repeated k-mers within one transcript)
+        # and build the CSR arrays.
+        if all_h.size:
+            first = np.empty(all_h.size, dtype=bool)
+            first[0] = True
+            np.not_equal(all_h[1:], all_h[:-1], out=first[1:])
+            tid_change = np.empty(all_h.size, dtype=bool)
+            tid_change[0] = True
+            np.not_equal(all_t[1:], all_t[:-1], out=tid_change[1:])
+            keep_pair = first | tid_change
+            all_h = all_h[keep_pair]
+            all_t = all_t[keep_pair]
+
+            new_key = np.empty(all_h.size, dtype=bool)
+            new_key[0] = True
+            np.not_equal(all_h[1:], all_h[:-1], out=new_key[1:])
+            keys = all_h[new_key]
+            starts = np.flatnonzero(new_key)
+            row_ptr = np.zeros(keys.size + 1, dtype=np.int32)
+            row_ptr[:-1] = starts
+            row_ptr[-1] = all_h.size
+        else:
+            keys = np.zeros(0, dtype=np.uint32)
+            row_ptr = np.zeros(1, dtype=np.int32)
+
+        per_k[k] = KIndex(
+            keys=keys.astype(np.uint32), row_ptr=row_ptr, postings=all_t.astype(np.int32)
+        )
         log.info(
             "index k=%d: %d keys, %d postings over %d sketchable transcripts",
             k,
