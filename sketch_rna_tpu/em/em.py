@@ -84,7 +84,9 @@ def run_em(
     # C++: float pseudocount = 0.01; 'pseudocount / R' divides in float32
     # (size_t -> float conversion), each addition then promotes.
     pcf = jnp.float32(pseudocount)
-    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + jnp.asarray(pseudocount, dt)
+    # Both addends stay at float32 precision before promotion, exactly as
+    # the C++ 'float pseudocount' (src/isoform_assignment.cpp:54-60).
+    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + pcf.astype(dt)
 
     def e_step(pi):
         w = pi[pair_tid] * score
@@ -155,7 +157,9 @@ def run_em_tables(
         else jnp.asarray(init_pi, dtype=dt)
     )
     pcf = jnp.float32(pseudocount)
-    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + jnp.asarray(pseudocount, dt)
+    # Both addends stay at float32 precision before promotion, exactly as
+    # the C++ 'float pseudocount' (src/isoform_assignment.cpp:54-60).
+    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + pcf.astype(dt)
 
     def e_step(pi):
         w = pi[tbl_tid] * score  # [N, C]

@@ -422,6 +422,21 @@ def quantify(
     from sketch_rna_tpu.utils.profiling import maybe_trace
     from sketch_rna_tpu.utils.timing import PhaseTimer
 
+    if R == 0:
+        # No valid reads: the reference would run EM over zero reads
+        # (pseudocount/0 -> inf pi) and emit a header-only CSV; produce
+        # the same empty output without the inf detour.
+        return QuantResult(
+            names=list(index.names),
+            pi=np.full(T, 1.0 / max(T, 1)),
+            weighted_counts=np.zeros(T),
+            has_entry=np.zeros(T, dtype=bool),
+            em_iterations=0,
+            num_reads=0,
+            stats={},
+            lengths=np.asarray(index.lengths),
+        )
+
     timer = PhaseTimer()
     B = config.batch_size
     nb = (R + B - 1) // B
