@@ -269,7 +269,9 @@ void* fasta_open_scan(const char* path, int64_t* n_records, int64_t* n_invalid) 
   const char* data = h->map.data;
   const size_t size = h->map.size;
   size_t pos = 0;
-  std::unordered_map<std::string_view, int64_t> by_id;
+  // Keys must OWN their storage: views into h->names dangle when the
+  // vector reallocates (strings move).
+  std::unordered_map<std::string, int64_t> by_id;
   std::string cur_id;
   std::string cur_seq;
   auto flush = [&]() {
@@ -278,11 +280,10 @@ void* fasta_open_scan(const char* path, int64_t* n_records, int64_t* n_invalid) 
       h->n_invalid++;
       return;
     }
-    std::string_view key(cur_id);
-    if (by_id.find(key) != by_id.end()) return;  // first wins
+    if (by_id.find(cur_id) != by_id.end()) return;  // first wins
+    by_id.emplace(cur_id, 1);
     h->names.push_back(cur_id);
     h->seqs.push_back(cur_seq);
-    by_id.emplace(std::string_view(h->names.back()), 1);
   };
   while (pos < size) {
     std::string_view line = next_line(data, size, pos);
