@@ -4,22 +4,22 @@ Semantically identical to match/candidates.py (the reference's
 sparse_chain, src/sparse_chaining.cpp:29-115; equality asserted in
 tests/test_rowmatch.py) but shaped for the VPU:
 
-  - posting expansion is PER-READ into a fixed [B, Epr] event window,
-    with the owning sketch-slot found by an unrolled in-row binary search
-    over the per-read length cumsum (take_along_axis on [B, S] tables) —
-    no global 2M-lane searchsorted,
+  - posting expansion is PER-READ into a fixed [B, Epr] event window;
+    the owning sketch-slot per lane comes from a compare-accumulate
+    sweep over the S (static, small) per-read cumsum columns — zero
+    gathers, no global searchsorted,
   - (read, transcript, k) grouping is a ROW sort of packed int32 keys
     (tid*K + k) — 256-lane independent row sorts instead of one global
-    multi-operand sort: ~6x fewer comparator passes and no cross-row
+    multi-operand sort: far fewer comparator passes and no cross-row
     data movement,
   - per-(tid,k) counts, per-read per-k maxima, per-tid forall-k
-    threshold and score all reduce along rows with cummax/cumsum/
-    take_along_axis — zero scatters,
-  - the per-read top-C candidate table is one more row sort + slice.
+    threshold and score all reduce along rows with cummax/cumsum —
+    zero scatters,
+  - the per-read top-C candidate table is one more row sort (single
+    packed key when the transcript count permits) + slice.
 
-Measured on v5e: the global-sort path runs ~885 ms per 8192x150 bp batch;
-this path replaces its two dominant costs (ragged expand 373 ms,
-grouping 440 ms) with row-local work.
+Measured on v5e (8192x150 bp batch, 2k-transcript index): the global-
+sort formulation runs ~885 ms; this path runs ~49 ms.
 
 The only capacity difference vs candidates.py: the expansion budget is
 per read per k (events_per_read) rather than a batch-global pool; spills
@@ -28,8 +28,7 @@ are counted per batch, never silent.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
