@@ -64,13 +64,17 @@ def _global_pair_sort(hashes, tids):
 
 @functools.lru_cache(maxsize=1)
 def _cpu_device():
-    """Index build is offline with many bucket shapes; pin to CPU so it
-    never burns slow remote-TPU compiles per bucket shape.  The big
-    global pair sort still goes wherever the default backend lives."""
     try:
         return jax.devices("cpu")[0]
     except RuntimeError:
         return None
+
+
+# Above this many total bases, hashing runs on the default accelerator
+# (chunk shapes are padded so each (bucket, k) costs exactly one
+# compile); below it, the CPU backend avoids accelerator compile latency
+# for tiny inputs.
+_DEVICE_HASH_MIN_BASES = 16 << 20
 
 
 def _bucketize(lengths: Sequence[int]) -> Dict[int, List[int]]:
@@ -99,7 +103,8 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
     # Sketchable set: length >= every configured k (src/main.cpp:66-75).
     sketchable = [i for i in range(len(names)) if lengths[i] >= max_k]
     thr = fracminhash_threshold(config.sketch_fraction)
-    cpu = _cpu_device()
+    total_bases = int(lengths.sum())
+    cpu = _cpu_device() if total_bases < _DEVICE_HASH_MIN_BASES else None
 
     per_k: Dict[int, KIndex] = {}
     for k in ks:
@@ -111,7 +116,9 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
             bsz = max(_BATCH_ELEMENT_BUDGET // pad_len, 1)
             for start in range(0, len(ids), bsz):
                 chunk = ids[start : start + bsz]
-                B = len(chunk)
+                # Pad the final chunk to the full batch height so each
+                # (bucket, k) shape compiles exactly once.
+                B = bsz if len(ids) > bsz else len(chunk)
                 codes = np.zeros((B, pad_len), dtype=np.uint8)
                 lens = np.zeros(B, dtype=np.int32)
                 for r, tid in enumerate(chunk):
