@@ -43,17 +43,24 @@ _BATCH_ELEMENT_BUDGET = 1 << 24
 _SENTINEL = np.uint32(0xFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _hash_sorted_batch(codes, lengths, k, thr):
-    """[B, L] codes -> (row-sorted kept hashes [B, L-k+1] u32 with
-    sentinel tail, kept count per row [B] i32)."""
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _hash_pairs_batch(codes, lengths, tid_of_row, k, thr, cap):
+    """[B, L] codes -> compacted kept (hash, tid) pairs.
+
+    The whole batch's kept k-mers compact on device: one flat pair sort
+    pushes kept hashes (all < sentinel) to the front, and only the first
+    `cap` lanes transfer to the host.  Returns (pair_hash [cap] u32,
+    pair_tid [cap] i32, n_kept [] i32).
+    """
     h = nthash_batch_u32(codes, k)
-    nk = h.shape[1]
+    B, nk = h.shape
     pos_ok = jnp.arange(nk, dtype=jnp.int32)[None, :] < (lengths[:, None] - (k - 1))
     keep = pos_ok & (h <= jnp.uint32(thr))
-    hs = jnp.sort(jnp.where(keep, h, jnp.uint32(0xFFFFFFFF)), axis=1)
-    n_kept = jnp.sum(keep.astype(jnp.int32), axis=1)
-    return hs, n_kept
+    flat_h = jnp.where(keep, h, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    flat_t = jnp.broadcast_to(tid_of_row[:, None], (B, nk)).reshape(-1)
+    sh, st = jax.lax.sort((flat_h, flat_t), num_keys=2)
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    return sh[:cap], st[:cap], n_kept
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -114,6 +121,10 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
         for pad_len, rows in buckets.items():
             ids = [sketchable[r] for r in rows]
             bsz = max(_BATCH_ELEMENT_BUDGET // pad_len, 1)
+            # Transfer cap: generous headroom over the expected kept
+            # fraction; widened to everything for large fractions.
+            frac_cap = min(1.0, config.sketch_fraction * 2.0 + 0.05)
+            cap = max(int(bsz * pad_len * frac_cap), 1)
             for start in range(0, len(ids), bsz):
                 chunk = ids[start : start + bsz]
                 # Pad the final chunk to the full batch height so each
@@ -121,22 +132,28 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
                 B = bsz if len(ids) > bsz else len(chunk)
                 codes = np.zeros((B, pad_len), dtype=np.uint8)
                 lens = np.zeros(B, dtype=np.int32)
+                tid_of_row = np.zeros(B, dtype=np.int32)
                 for r, tid in enumerate(chunk):
                     c = seq_codes[tid]
                     codes[r, : c.size] = c
                     lens[r] = c.size
-                cj, lj = (codes, lens)
+                    tid_of_row[r] = tid
+                chunk_cap = min(cap, B * (pad_len - k + 1))
+                cj, lj, tj = codes, lens, tid_of_row
                 if cpu is not None:
                     cj = jax.device_put(codes, cpu)
                     lj = jax.device_put(lens, cpu)
-                hs, n_kept = _hash_sorted_batch(cj, lj, k, thr)
-                hs = np.asarray(hs)
-                n_kept = np.asarray(n_kept)
-                for r, tid in enumerate(chunk):
-                    n = int(n_kept[r])
-                    if n:
-                        hash_parts.append(hs[r, :n])
-                        tid_parts.append(np.full(n, tid, dtype=np.int32))
+                    tj = jax.device_put(tid_of_row, cpu)
+                ph, pt, n_kept = _hash_pairs_batch(cj, lj, tj, k, thr, chunk_cap)
+                n = int(n_kept)
+                if n > chunk_cap:
+                    # Extremely skewed batch: redo with the full width.
+                    ph, pt, n_kept = _hash_pairs_batch(
+                        cj, lj, tj, k, thr, B * (pad_len - k + 1)
+                    )
+                if n:
+                    hash_parts.append(np.asarray(ph[:n]))
+                    tid_parts.append(np.asarray(pt[:n]))
 
         if hash_parts:
             all_h = np.concatenate(hash_parts)
