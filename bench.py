@@ -66,6 +66,9 @@ def build_problem():
 
 
 def main():
+    from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
     from sketch_rna_tpu.pipeline import quantify
 
     cfg, idx, packed, t_index = build_problem()

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--streaming", action="store_true", help="force the streaming path")
     args = ap.parse_args()
 
+    from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
     from sketch_rna_tpu import pipeline as pl
     from sketch_rna_tpu.config import QuantConfig
     from sketch_rna_tpu.index.build import build_index

@@ -212,6 +212,9 @@ def run_quant(
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
+
+    enable_compilation_cache()
     # Honor JAX_PLATFORMS even when a sitecustomize pre-registered another
     # backend and overwrote the platform list (e.g. remote-TPU containers).
     import os
