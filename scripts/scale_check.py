@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--k", default="31")
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--streaming", action="store_true", help="force the streaming path")
+    ap.add_argument("--cache-dir", default="/tmp/sketch_scale_cache",
+                    help="reuse the built index across runs (keyed by params)")
     args = ap.parse_args()
 
     from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
@@ -54,8 +56,18 @@ def main():
         max_read_len=((args.read_len + 127) // 128) * 128,
         em_dtype="float32",
     )
+    from sketch_rna_tpu.index.artifact import load_index, save_index
+
+    cache_key = f"T{args.transcripts}_k{args.k.replace(',','_')}"
+    cache_path = os.path.join(args.cache_dir, f"{cache_key}.npz")
     t0 = time.perf_counter()
-    idx = build_index(recs, cfg)
+    if os.path.exists(cache_path):
+        idx = load_index(cache_path)
+        print(f"index loaded from cache {cache_path}", flush=True)
+    else:
+        idx = build_index(recs, cfg)
+        os.makedirs(args.cache_dir, exist_ok=True)
+        save_index(cache_path, idx)
     t_index = time.perf_counter() - t0
     tot_post = {k: idx.per_k[k].num_postings for k in ks}
     print(f"index: {t_index:.1f}s, keys={ {k: idx.per_k[k].num_keys for k in ks} } "
