@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--em-convergence", type=float, default=0.01)
     p.add_argument("--pseudocount", type=float, default=0.01)
     # TPU capacity knobs.
-    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--batch-size", type=int, default=8192)
     p.add_argument("--max-read-len", type=int, default=256)
     p.add_argument("--candidate-capacity", type=int, default=64)
     p.add_argument("--expand-per-read", type=int, default=256)
