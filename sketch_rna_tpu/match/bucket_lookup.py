@@ -47,16 +47,18 @@ def build_bucket_table(
     mb = max(int(counts.max()) if U else 0, 1)
     packed = np.zeros((nb, 3 * mb), dtype=np.int32)
     packed[:, :mb] = -1  # sentinel key bits
-    # keys are sorted, so each bucket's entries are contiguous.
-    starts = np.zeros(nb + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    lens = (row_ptr[1:] - row_ptr[:-1]).astype(np.int32) if U else np.zeros(0, np.int32)
-    for bi in np.nonzero(counts)[0]:
-        a, e = int(starts[bi]), int(starts[bi + 1])
-        n = e - a
-        packed[bi, :n] = keys[a:e].view(np.int32)
-        packed[bi, mb : mb + n] = row_ptr[a:e]
-        packed[bi, 2 * mb : 2 * mb + n] = lens[a:e]
+    if U:
+        # keys are sorted, so buckets are contiguous runs; each key's
+        # within-bucket slot is its index minus its bucket's start.
+        # Fully vectorized — a per-bucket Python loop costs seconds at
+        # GENCODE scale on weak hosts.
+        starts = np.zeros(nb, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        within = np.arange(U, dtype=np.int64) - starts[b]
+        lens = (row_ptr[1:] - row_ptr[:-1]).astype(np.int32)
+        packed[b, within] = keys.view(np.int32)
+        packed[b, mb + within] = row_ptr[:-1]
+        packed[b, 2 * mb + within] = lens
     return BucketTable(packed=packed, shift=shift, mb=mb)
 
 
