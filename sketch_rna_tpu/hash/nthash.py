@@ -144,7 +144,7 @@ def nthash_batch_u32(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     codes = codes.astype(jnp.uint32)
     h = jnp.zeros((B, nk), dtype=jnp.uint32)
     for j in range(k):
-        c = jax_dynamic_window(codes, j, nk)
+        c = codes[:, j : j + nk]
         b0 = (c & jnp.uint32(1)).astype(jnp.bool_)
         b1 = (c >> jnp.uint32(1)).astype(jnp.bool_)
         tj = tables[j]
@@ -152,9 +152,3 @@ def nthash_batch_u32(codes: jnp.ndarray, k: int) -> jnp.ndarray:
         hi_pair = jnp.where(b0, jnp.uint32(tj[3]), jnp.uint32(tj[2]))
         h = h ^ jnp.where(b1, hi_pair, lo_pair)
     return h
-
-
-def jax_dynamic_window(codes: jnp.ndarray, j: int, nk: int) -> jnp.ndarray:
-    """Static slice codes[:, j:j+nk] (helper kept separate for the Pallas
-    kernel variant to override)."""
-    return codes[:, j : j + nk]
