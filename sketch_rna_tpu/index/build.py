@@ -80,8 +80,9 @@ def _cpu_device():
 # Above this many total bases, hashing runs on the default accelerator
 # (chunk shapes are padded so each (bucket, k) costs exactly one
 # compile); below it, the CPU backend avoids accelerator compile latency
-# for tiny inputs.
-_DEVICE_HASH_MIN_BASES = 16 << 20
+# for tiny inputs.  Kept low: the in-batch pair sort is heavy for weak
+# host CPUs, and accelerator compiles amortize via the persistent cache.
+_DEVICE_HASH_MIN_BASES = 1 << 20
 
 
 def _bucketize(lengths: Sequence[int]) -> Dict[int, List[int]]:
