@@ -19,10 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from sketch_rna_tpu.config import QuantConfig
-from sketch_rna_tpu.em.em import assign_reads, run_em
 from sketch_rna_tpu.index.artifact import IndexArtifact
 from sketch_rna_tpu.io.packing import PackedReads
-from sketch_rna_tpu.match.rowmatch import row_match
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
 
 log = logging.getLogger(__name__)
