@@ -128,13 +128,13 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
             cap = max(int(bsz * pad_len * frac_cap), 1)
             for start in range(0, len(ids), bsz):
                 chunk = ids[start : start + bsz]
-                # Always pad chunks to the canonical batch height: the
-                # (bucket_len, bsz, k) shape set is then dataset-
-                # independent, so compiled programs (and the persistent
-                # cache) transfer across transcriptomes.  Padding rows
-                # hash zeros and are masked — wasted FLOPs are trivial
-                # next to a single accelerator compile.
-                B = bsz
+                # Pad chunk height to a power of two: the (bucket_len,
+                # height, k) shape family is then small and largely
+                # dataset-independent, so compiled programs (and the
+                # persistent cache) transfer across transcriptomes
+                # without exploding padding waste for tiny inputs.
+                B = 1 << max(len(chunk) - 1, 0).bit_length()
+                B = max(min(B, bsz), 1)
                 codes = np.zeros((B, pad_len), dtype=np.uint8)
                 lens = np.zeros(B, dtype=np.int32)
                 tid_of_row = np.zeros(B, dtype=np.int32)
