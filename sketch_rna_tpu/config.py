@@ -55,6 +55,10 @@ class QuantConfig:
     # Use the Pallas fused hash+threshold kernel for sketching (TPU only;
     # the jnp windowed-XOR path is the portable reference).
     use_pallas_sketch: bool = False
+    # Collapse reads with identical candidate profiles into weighted
+    # equivalence classes before EM (exact; EM cost then scales with
+    # transcriptome ambiguity, not read count).
+    em_equivalence_classes: bool = True
 
     def sketch_capacity_for(self, k: int) -> int:
         """Auto-size sketch capacity from the padded read length."""

@@ -136,8 +136,13 @@ def run_em_tables(
     axis_name: Optional[str] = None,
     init_pi: Optional[jnp.ndarray] = None,
     start_iteration: int = 0,
+    weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM directly over [N, C] candidate tables (same math as run_em).
+
+    weight (optional [N] int32): row multiplicities for equivalence-
+    class EM (em/classes.py) — each row's posterior contributes
+    weight[n] times, exactly equal to iterating the duplicated reads.
 
     The candidate-table layout makes the per-read denominator a row sum
     (pure VPU reduce) so each iteration needs only ONE scatter-add (the
@@ -161,11 +166,15 @@ def run_em_tables(
     # the C++ 'float pseudocount' (src/isoform_assignment.cpp:54-60).
     term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + pcf.astype(dt)
 
+    wgt = None if weight is None else weight.astype(dt)[:, None]
+
     def e_step(pi):
         w = pi[tbl_tid] * score  # [N, C]
         denom = jnp.sum(w, axis=1, keepdims=True)
         inv = jnp.where(denom > jnp.asarray(epsilon, dt), 1.0 / denom, jnp.asarray(0, dt))
         post = w * inv
+        if wgt is not None:
+            post = post * wgt
         ps = jnp.zeros(T, dt).at[tbl_tid.reshape(-1)].add(post.reshape(-1))
         return _psum_maybe(ps, axis_name)
 
@@ -194,8 +203,10 @@ def assign_reads_tables(
     num_transcripts: int,
     dtype: str = "float32",
     axis_name: Optional[str] = None,
+    weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Table-layout soft assignment (same math as assign_reads)."""
+    """Table-layout soft assignment (same math as assign_reads);
+    weight as in run_em_tables."""
     T = num_transcripts
     dt = jnp.dtype(dtype)
     score = tbl_score.astype(dt)
@@ -204,10 +215,15 @@ def assign_reads_tables(
     ok = denom > jnp.asarray(0, dt)
     inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), jnp.asarray(0, dt))
     prob = w * inv
+    contributes = (score > 0) & ok
+    if weight is not None:
+        prob = prob * weight.astype(dt)[:, None]
+        contributes = contributes & (weight > 0)[:, None]
     flat_tid = tbl_tid.reshape(-1)
     weighted = jnp.zeros(T, dt).at[flat_tid].add(prob.reshape(-1))
-    contributes = ((score > 0) & ok).reshape(-1)
-    has_entry = jnp.zeros(T, jnp.int32).at[flat_tid].add(contributes.astype(jnp.int32))
+    has_entry = jnp.zeros(T, jnp.int32).at[flat_tid].add(
+        contributes.reshape(-1).astype(jnp.int32)
+    )
     weighted = _psum_maybe(weighted, axis_name)
     has_entry = _psum_maybe(has_entry, axis_name)
     return weighted, has_entry > 0

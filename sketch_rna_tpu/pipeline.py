@@ -466,6 +466,8 @@ def quantify(
     with timer.phase("sketch_match", items=R):
         tbl_tid, tbl_score, stats = collect_tables(index, packed, config)
 
+    tbl_tid, tbl_score, weight = _maybe_classes(tbl_tid, tbl_score, config)
+
     with timer.phase("em", items=config.em_max_iterations):
         pi, iters = run_em_tables(
             tbl_tid,
@@ -477,6 +479,7 @@ def quantify(
             pseudocount=config.pseudocount,
             epsilon=config.em_epsilon,
             dtype=config.em_dtype,
+            weight=weight,
         )
     with timer.phase("assignment"):
         weighted, has_entry = assign_reads_tables(
@@ -485,6 +488,7 @@ def quantify(
             pi,
             num_transcripts=T,
             dtype=config.em_dtype,
+            weight=weight,
         )
     return QuantResult(
         names=list(index.names),
@@ -497,6 +501,26 @@ def quantify(
         timing=timer.report(),
         lengths=np.asarray(index.lengths),
     )
+
+
+def _maybe_classes(tbl_tid, tbl_score, config: QuantConfig):
+    """Optionally collapse identical candidate rows into weighted
+    equivalence classes (exact; em/classes.py), then narrow the class
+    table to a pow2 row count."""
+    if not config.em_equivalence_classes or tbl_tid.shape[0] < 1024:
+        return tbl_tid, tbl_score, None
+    from sketch_rna_tpu.em.classes import group_candidate_rows
+
+    cls_tid, cls_score, weight, n_classes = group_candidate_rows(tbl_tid, tbl_score)
+    M = int(n_classes)
+    M_pad = 1 << max(M - 1, 0).bit_length()
+    M_pad = min(max(M_pad, 1024), tbl_tid.shape[0])
+    if M_pad < tbl_tid.shape[0]:
+        cls_tid = jax.lax.slice_in_dim(cls_tid, 0, M_pad, axis=0)
+        cls_score = jax.lax.slice_in_dim(cls_score, 0, M_pad, axis=0)
+        weight = jax.lax.slice_in_dim(weight, 0, M_pad, axis=0)
+    log.info("equivalence classes: %d reads -> %d classes", tbl_tid.shape[0], M)
+    return cls_tid, cls_score, weight
 
 
 def _quantify_fused(
@@ -545,6 +569,8 @@ def _quantify_fused(
     tbl_tid = jax.lax.slice_in_dim(tbl_tid, 0, W, axis=1)
     tbl_score = jax.lax.slice_in_dim(tbl_score, 0, W, axis=1)
 
+    tbl_tid, tbl_score, weight = _maybe_classes(tbl_tid, tbl_score, config)
+
     pi, iters = run_em_tables(
         tbl_tid,
         tbl_score,
@@ -555,6 +581,7 @@ def _quantify_fused(
         pseudocount=config.pseudocount,
         epsilon=config.em_epsilon,
         dtype=config.em_dtype,
+        weight=weight,
     )
     weighted, has_entry = assign_reads_tables(
         tbl_tid,
@@ -562,6 +589,7 @@ def _quantify_fused(
         pi,
         num_transcripts=index.num_transcripts,
         dtype=config.em_dtype,
+        weight=weight,
     )
     host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
     for key, v in host_stats.items():

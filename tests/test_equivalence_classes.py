@@ -1,0 +1,59 @@
+"""Equivalence-class EM: exact agreement with per-read EM, and correct
+grouping semantics."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from sketch_rna_tpu.config import QuantConfig
+from sketch_rna_tpu.em.classes import group_candidate_rows
+from sketch_rna_tpu.index.build import build_index
+from sketch_rna_tpu.io.fasta import FastaRecords
+from sketch_rna_tpu.io.packing import PackedReads
+from sketch_rna_tpu.pipeline import quantify
+
+from util import decode, make_transcriptome, sample_reads
+
+
+def test_grouping_counts(rng):
+    rows_tid = np.array([[1, 2, 0], [1, 2, 0], [3, 0, 0], [1, 2, 0], [3, 0, 0]], np.int32)
+    rows_score = np.array([[5, 3, 0], [5, 3, 0], [2, 0, 0], [5, 3, 0], [2, 0, 0]], np.int32)
+    ct, cs, w, n = group_candidate_rows(jnp.asarray(rows_tid), jnp.asarray(rows_score))
+    assert int(n) == 2
+    w = np.asarray(w)[:2]
+    assert sorted(w.tolist()) == [2, 3]
+    # Profiles with different scores but same tids stay distinct.
+    rows_score2 = rows_score.copy()
+    rows_score2[1, 0] = 6
+    _, _, w2, n2 = group_candidate_rows(jnp.asarray(rows_tid), jnp.asarray(rows_score2))
+    assert int(n2) == 3
+
+
+def test_class_em_equals_per_read_em():
+    rng = np.random.default_rng(777)
+    seqs = make_transcriptome(rng, n=12, len_range=(60, 400))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(
+        kmer_lengths=(31,), batch_size=512, max_read_len=128, em_dtype="float64",
+    )
+    idx = build_index(recs, cfg)
+    # >1024 reads so the class path engages; heavy duplication via
+    # repeated identical reads.
+    base = [r for r in sample_reads(rng, seqs, n_reads=300, read_len=100, error_rate=0.0) if r.size >= 31]
+    reads = (base * 7)[:1800]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    on = quantify(idx, packed, cfg)
+    off = quantify(idx, packed, dataclasses.replace(cfg, em_equivalence_classes=False))
+    assert on.em_iterations == off.em_iterations
+    np.testing.assert_allclose(on.pi, off.pi, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        on.weighted_counts, off.weighted_counts, rtol=1e-12, atol=1e-13
+    )
+    np.testing.assert_array_equal(on.has_entry, off.has_entry)
