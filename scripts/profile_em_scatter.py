@@ -20,16 +20,17 @@ from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
 enable_compilation_cache()
 
 N, W, T = 204800, 16, 50000
-rng = np.random.default_rng(0)
-# Skewed tids like real data (zipf-ish popularity).
-pop = rng.zipf(1.3, size=N * W).astype(np.int64) % T
-tid = jnp.asarray(pop.reshape(N, W).astype(np.int32))
-post = jnp.asarray(rng.random((N, W)).astype(np.float32))
+# All data generated ON DEVICE (host numpy is too slow here).
+key = jax.random.PRNGKey(0)
+k1, k2 = jax.random.split(key)
+# Skewed popularity: square a uniform to concentrate mass.
+u = jax.random.uniform(k1, (N, W))
+tid = (u * u * T).astype(jnp.int32)
+post = jax.random.uniform(k2, (N, W), dtype=jnp.float32)
 
-flat_tid = np.asarray(tid).reshape(-1)
-perm_np = np.argsort(flat_tid, kind="stable")
-perm = jnp.asarray(perm_np.astype(np.int32))
-tid_sorted = jnp.asarray(flat_tid[perm_np])
+flat = tid.reshape(-1)
+tid_sorted, perm = jax.lax.sort((flat, jnp.arange(N * W, dtype=jnp.int32)), num_keys=1)
+jax.block_until_ready((tid, post, tid_sorted, perm))
 
 
 def timeit(name, fn, *args, n=10):
