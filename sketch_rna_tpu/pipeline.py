@@ -511,6 +511,15 @@ def _maybe_classes(tbl_tid, tbl_score, config: QuantConfig):
         return tbl_tid, tbl_score, None
     from sketch_rna_tpu.em.classes import group_candidate_rows
 
+    # Pad rows to a power of two so the grouping program's shape family
+    # stays small across datasets (padding rows are all-zero and join
+    # the empty class; their weight contributes nothing since the zero
+    # profile is inert in EM and assignment).
+    N = tbl_tid.shape[0]
+    N_pad = 1 << (N - 1).bit_length()
+    if N_pad > N:
+        tbl_tid = jnp.pad(tbl_tid, ((0, N_pad - N), (0, 0)))
+        tbl_score = jnp.pad(tbl_score, ((0, N_pad - N), (0, 0)))
     cls_tid, cls_score, weight, n_classes = group_candidate_rows(tbl_tid, tbl_score)
     M = int(n_classes)
     M_pad = 1 << max(M - 1, 0).bit_length()
