@@ -26,6 +26,10 @@ import jax
 # run on the 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# CLI code paths enable the persistent compilation cache; keep tests
+# hermetic (and immune to cross-run stale-executable issues) by
+# disabling it for the whole test process.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest
