@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sketch_rna_tpu.hash.nthash import window_tables_u32
-from sketch_rna_tpu.sketch.fracminhash import fracminhash_threshold
+from sketch_rna_tpu.sketch.fracminhash import dedup_select, fracminhash_threshold
 
 _SENTINEL = 0xFFFFFFFF
 
@@ -96,7 +96,5 @@ def sketch_batch_pallas(
     """Drop-in replacement for sketch/fracminhash.sketch_batch with the
     hash+threshold stage as a Pallas kernel; dedup stays as the two row
     sorts (XLA's row sort is already near-optimal)."""
-    from sketch_rna_tpu.sketch.fracminhash import dedup_select
-
     hs = nthash_sketch_pallas(codes, lengths, k, fraction, interpret=interpret)
     return dedup_select(hs, capacity)

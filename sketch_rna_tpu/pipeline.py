@@ -19,9 +19,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from sketch_rna_tpu.config import QuantConfig
+from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
 from sketch_rna_tpu.index.artifact import IndexArtifact
 from sketch_rna_tpu.io.packing import PackedReads
+from sketch_rna_tpu.match.bucket_lookup import bucket_lookup, build_bucket_table
+from sketch_rna_tpu.match.rowmatch import (
+    row_events_to_candidates,
+    row_expand_from_runs,
+)
+from sketch_rna_tpu.em.classes import group_candidate_rows
+from sketch_rna_tpu.hash.pallas_hash import sketch_batch_pallas
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
+
+# NOTE: modules used inside jitted function bodies MUST be imported at
+# module scope.  A lazy `import` inside a traced function initializes
+# the target module's jnp-level constants DURING TRACING, which corrupts
+# jit dispatch (observed as "Execution supplied N buffers but compiled
+# program expected N+2" on the next differently-shaped call).
 
 log = logging.getLogger(__name__)
 
@@ -52,8 +66,6 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
     free, and quantify runs warm-up + timed passes, multiple samples,
     etc. against one loaded index).
     """
-    from sketch_rna_tpu.match.bucket_lookup import build_bucket_table
-
     cache_key = tuple(ks)
     cache = getattr(idx, "_device_index_cache", None)
     if cache is not None and cache_key in cache:
@@ -114,16 +126,7 @@ def sketch_match_step(
     short row sorts (sketch dedup), one bucket-table gather per k
     (lookup), comparison-based posting expansion, row-local grouping.
     """
-    from sketch_rna_tpu.match.bucket_lookup import bucket_lookup
-    from sketch_rna_tpu.match.rowmatch import (
-        row_events_to_candidates,
-        row_expand_from_runs,
-    )
-
-    if use_pallas_sketch:
-        from sketch_rna_tpu.hash.pallas_hash import sketch_batch_pallas as _sketch
-    else:
-        _sketch = sketch_batch
+    _sketch = sketch_batch_pallas if use_pallas_sketch else sketch_batch
     K = len(kmer_lengths)
     overflows, parts, drops = [], [], []
     for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
@@ -509,8 +512,6 @@ def _maybe_classes(tbl_tid, tbl_score, config: QuantConfig):
     table to a pow2 row count."""
     if not config.em_equivalence_classes or tbl_tid.shape[0] < 1024:
         return tbl_tid, tbl_score, None
-    from sketch_rna_tpu.em.classes import group_candidate_rows
-
     # Pad rows to a power of two so the grouping program's shape family
     # stays small across datasets (padding rows are all-zero and join
     # the empty class; their weight contributes nothing since the zero
@@ -551,8 +552,6 @@ def _quantify_fused(
     lengths_all = jnp.pad(
         jnp.asarray(packed.lengths, dtype=jnp.int32), (0, N - R)
     ).reshape(nb, B)
-
-    from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
 
     tbl_tid, tbl_score, n_cand_max, stats = match_scan(
         codes_all,
