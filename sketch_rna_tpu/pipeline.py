@@ -382,11 +382,34 @@ def collect_tables(
         pending.append(out)
 
     stats = {"expand_dropped": 0, "candidate_spilled": 0, "sketch_overflow": 0}
+    # One host sync for ALL per-batch scalars (per-batch round-trips cost
+    # ~100 ms each through tunneled backends).
+    nc_all = np.asarray(
+        jnp.stack(
+            [jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1)) for _, _, mask, _ in pending]
+        )
+    )
+    stat_sums = np.asarray(
+        jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.sum(s["expand_dropped"]),
+                        jnp.sum(s["candidate_spilled"]),
+                        jnp.sum(s["sketch_overflow"]),
+                    ]
+                )
+                for _, _, _, s in pending
+            ]
+        )
+    )
+    stats["expand_dropped"] = int(stat_sums[:, 0].sum())
+    stats["candidate_spilled"] = int(stat_sums[:, 1].sum())
+    stats["sketch_overflow"] = int(stat_sums[:, 2].sum())
     slices = []
     w_max = 1
-    for tid, score, mask, s in pending:
-        n_cand = int(jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1)))
-        w = 1 << max(n_cand - 1, 0).bit_length() if n_cand > 1 else 1
+    for (tid, score, mask, s), n_cand in zip(pending, nc_all.tolist()):
+        w = 1 << max(int(n_cand) - 1, 0).bit_length() if n_cand > 1 else 1
         w = min(max(w, 1), config.candidate_capacity)
         w_max = max(w_max, w)
         slices.append(
@@ -395,9 +418,6 @@ def collect_tables(
                 jax.lax.slice_in_dim(jnp.where(mask, score, 0), 0, w, axis=1),
             )
         )
-        stats["expand_dropped"] += int(np.asarray(s["expand_dropped"]).sum())
-        stats["candidate_spilled"] += int(np.asarray(s["candidate_spilled"]))
-        stats["sketch_overflow"] += int(np.asarray(s["sketch_overflow"]).sum())
 
     tbl_tid = jnp.concatenate(
         [jnp.pad(t, ((0, 0), (0, w_max - t.shape[1]))) for t, _ in slices]
