@@ -504,6 +504,7 @@ def quantify(
             dtype=config.em_dtype,
             weight=weight,
         )
+        jax.block_until_ready(pi)
     with timer.phase("assignment"):
         weighted, has_entry = assign_reads_tables(
             tbl_tid,
@@ -513,6 +514,7 @@ def quantify(
             dtype=config.em_dtype,
             weight=weight,
         )
+        jax.block_until_ready(weighted)
     return QuantResult(
         names=list(index.names),
         pi=np.asarray(pi),
