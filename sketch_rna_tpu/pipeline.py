@@ -481,7 +481,7 @@ def quantify(
     if 0 < nb * B <= FUSED_MAX_PADDED_READS:
         with maybe_trace("quant_fused"), timer.phase("quant_fused", items=R):
             result = _quantify_fused(index, packed, config, nb)
-        result.timing = timer.report()
+        result.timing = {**result.timing, **timer.report()}
         return result
 
     from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
@@ -575,6 +575,9 @@ def _quantify_fused(
         jnp.asarray(packed.lengths, dtype=jnp.int32), (0, N - R)
     ).reshape(nb, B)
 
+    from sketch_rna_tpu.utils.timing import PhaseTimer
+
+    timer = PhaseTimer()
     tbl_tid, tbl_score, n_cand_max, stats = match_scan(
         codes_all,
         lengths_all,
@@ -590,6 +593,8 @@ def _quantify_fused(
         use_pallas_sketch=config.use_pallas_sketch,
         num_transcripts=index.num_transcripts,
     )
+    with timer.phase("match_scan", items=packed.num_reads):
+        jax.block_until_ready(tbl_tid)
     # Tables are rank-ordered per read, so narrowing to the max per-read
     # candidate count is lossless and shrinks the EM working set (the
     # dominant EM cost is the posterior scatter over N*C lanes).
@@ -599,9 +604,12 @@ def _quantify_fused(
     tbl_tid = jax.lax.slice_in_dim(tbl_tid, 0, W, axis=1)
     tbl_score = jax.lax.slice_in_dim(tbl_score, 0, W, axis=1)
 
-    tbl_tid, tbl_score, weight = _maybe_classes(tbl_tid, tbl_score, config)
+    with timer.phase("classes"):
+        tbl_tid, tbl_score, weight = _maybe_classes(tbl_tid, tbl_score, config)
+        jax.block_until_ready(tbl_tid)
 
-    pi, iters = run_em_tables(
+    with timer.phase("em"):
+        pi, iters = run_em_tables(
         tbl_tid,
         tbl_score,
         jnp.asarray(packed.num_reads, jnp.int32),
@@ -613,7 +621,9 @@ def _quantify_fused(
         dtype=config.em_dtype,
         weight=weight,
     )
-    weighted, has_entry = assign_reads_tables(
+    jax.block_until_ready(pi)
+    with timer.phase("assignment"):
+        weighted, has_entry = assign_reads_tables(
         tbl_tid,
         tbl_score,
         pi,
@@ -621,6 +631,7 @@ def _quantify_fused(
         dtype=config.em_dtype,
         weight=weight,
     )
+    jax.block_until_ready(weighted)
     host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
     for key, v in host_stats.items():
         if v:
@@ -633,6 +644,7 @@ def _quantify_fused(
         em_iterations=int(iters),
         num_reads=packed.num_reads,
         stats=host_stats,
+        timing=timer.report(),
         lengths=np.asarray(index.lengths),
     )
 
