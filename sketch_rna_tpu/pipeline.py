@@ -610,18 +610,18 @@ def _quantify_fused(
 
     with timer.phase("em"):
         pi, iters = run_em_tables(
-        tbl_tid,
-        tbl_score,
-        jnp.asarray(packed.num_reads, jnp.int32),
-        num_transcripts=index.num_transcripts,
-        max_iterations=config.em_max_iterations,
-        convergence_threshold=config.em_convergence,
-        pseudocount=config.pseudocount,
-        epsilon=config.em_epsilon,
-        dtype=config.em_dtype,
-        weight=weight,
-    )
-    jax.block_until_ready(pi)
+            tbl_tid,
+            tbl_score,
+            jnp.asarray(packed.num_reads, jnp.int32),
+            num_transcripts=index.num_transcripts,
+            max_iterations=config.em_max_iterations,
+            convergence_threshold=config.em_convergence,
+            pseudocount=config.pseudocount,
+            epsilon=config.em_epsilon,
+            dtype=config.em_dtype,
+            weight=weight,
+        )
+        jax.block_until_ready(pi)
     with timer.phase("assignment"):
         weighted, has_entry = assign_reads_tables(
         tbl_tid,
