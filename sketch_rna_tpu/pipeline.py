@@ -77,9 +77,12 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
         bt = build_bucket_table(keys[i], row_ptr[i])
         packed.append(bt.packed)
         metas.append((bt.shift, bt.mb))
+    # Cache DEVICE arrays: bucket tables reach hundreds of MB at GENCODE
+    # scale, and re-uploading them per quantify call costs tens of
+    # seconds through tunneled backends.
     result = (
-        tuple(packed),
-        tuple(np.asarray(p) for p in postings),
+        tuple(jnp.asarray(p) for p in packed),
+        tuple(jnp.asarray(np.asarray(p)) for p in postings),
         tuple(metas),
     )
     if cache is None:
