@@ -194,6 +194,112 @@ def run_em_tables(
     return pi, iters
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_transcripts",
+        "max_iterations",
+        "convergence_threshold",
+        "pseudocount",
+        "epsilon",
+        "dtype",
+        "axis_name",
+    ),
+)
+def run_em_partitioned(
+    tables,  # tuple of (tbl_tid [Ni, Wi], tbl_score [Ni, Wi], weight [Ni] or None)
+    num_reads: jnp.ndarray,
+    *,
+    num_transcripts: int,
+    max_iterations: int = 20,
+    convergence_threshold: float = 0.01,
+    pseudocount: float = 0.01,
+    epsilon: float = 1e-10,
+    dtype: str = "float32",
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EM over several width-partitioned class tables at once.
+
+    Same math as run_em_tables: each table row is an independent read /
+    equivalence class; posterior sums from all partitions add into one
+    [T] vector per iteration.  Splitting classes into narrow and wide
+    tables keeps the scatter lane count near the true pair count instead
+    of num_rows x max_width.
+    """
+    T = num_transcripts
+    dt = jnp.dtype(dtype)
+    prepped = []
+    for tid, score, weight in tables:
+        sc = score.astype(dt)
+        wgt = None if weight is None else weight.astype(dt)[:, None]
+        prepped.append((tid, sc, wgt))
+
+    pi0 = jnp.full(T, 1.0 / T, dtype=dt)
+    pcf = jnp.float32(pseudocount)
+    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + pcf.astype(dt)
+
+    def e_step(pi):
+        ps = jnp.zeros(T, dt)
+        for tid, sc, wgt in prepped:
+            w = pi[tid] * sc
+            denom = jnp.sum(w, axis=1, keepdims=True)
+            inv = jnp.where(
+                denom > jnp.asarray(epsilon, dt), 1.0 / denom, jnp.asarray(0, dt)
+            )
+            post = w * inv
+            if wgt is not None:
+                post = post * wgt
+            ps = ps.at[tid.reshape(-1)].add(post.reshape(-1))
+        return _psum_maybe(ps, axis_name)
+
+    def cond(state):
+        _, it, done = state
+        return (it < max_iterations) & jnp.logical_not(done)
+
+    def body(state):
+        pi, it, _ = state
+        new_pi = e_step(pi) + term
+        change = jnp.sum(jnp.abs(new_pi - pi))
+        return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
+
+    pi, iters, _ = jax.lax.while_loop(cond, body, (pi0, jnp.int32(0), jnp.bool_(False)))
+    return pi, iters
+
+
+@partial(jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name"))
+def assign_reads_partitioned(
+    tables,
+    pi: jnp.ndarray,
+    *,
+    num_transcripts: int,
+    dtype: str = "float32",
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Partitioned-table soft assignment (see run_em_partitioned)."""
+    T = num_transcripts
+    dt = jnp.dtype(dtype)
+    weighted = jnp.zeros(T, dt)
+    has_entry = jnp.zeros(T, jnp.int32)
+    for tid, score, weight in tables:
+        sc = score.astype(dt)
+        w = pi[tid] * sc
+        denom = jnp.sum(w, axis=1, keepdims=True)
+        ok = denom > jnp.asarray(0, dt)
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), jnp.asarray(0, dt))
+        prob = w * inv
+        contributes = (sc > 0) & ok
+        if weight is not None:
+            prob = prob * weight.astype(dt)[:, None]
+            contributes = contributes & (weight > 0)[:, None]
+        weighted = weighted.at[tid.reshape(-1)].add(prob.reshape(-1))
+        has_entry = has_entry.at[tid.reshape(-1)].add(
+            contributes.reshape(-1).astype(jnp.int32)
+        )
+    weighted = _psum_maybe(weighted, axis_name)
+    has_entry = _psum_maybe(has_entry, axis_name)
+    return weighted, has_entry > 0
+
+
 @partial(jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name"))
 def assign_reads_tables(
     tbl_tid: jnp.ndarray,

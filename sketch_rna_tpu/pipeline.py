@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from sketch_rna_tpu.config import QuantConfig
-from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
+from sketch_rna_tpu.em.em import (
+    assign_reads_partitioned,
+    assign_reads_tables,
+    run_em_partitioned,
+    run_em_tables,
+)
 from sketch_rna_tpu.index.artifact import IndexArtifact
 from sketch_rna_tpu.io.packing import PackedReads
 from sketch_rna_tpu.match.bucket_lookup import bucket_lookup, build_bucket_table
@@ -487,17 +492,15 @@ def quantify(
         result.timing = {**result.timing, **timer.report()}
         return result
 
-    from sketch_rna_tpu.em.em import assign_reads_tables, run_em_tables
 
     with timer.phase("sketch_match", items=R):
         tbl_tid, tbl_score, stats = collect_tables(index, packed, config)
 
-    tbl_tid, tbl_score, weight = _maybe_classes(tbl_tid, tbl_score, config)
+    tables = _em_tables(tbl_tid, tbl_score, config)
 
     with timer.phase("em", items=config.em_max_iterations):
-        pi, iters = run_em_tables(
-            tbl_tid,
-            tbl_score,
+        pi, iters = run_em_partitioned(
+            tables,
             jnp.asarray(R, dtype=jnp.int32),
             num_transcripts=T,
             max_iterations=config.em_max_iterations,
@@ -505,17 +508,14 @@ def quantify(
             pseudocount=config.pseudocount,
             epsilon=config.em_epsilon,
             dtype=config.em_dtype,
-            weight=weight,
         )
         jax.block_until_ready(pi)
     with timer.phase("assignment"):
-        weighted, has_entry = assign_reads_tables(
-            tbl_tid,
-            tbl_score,
+        weighted, has_entry = assign_reads_partitioned(
+            tables,
             pi,
             num_transcripts=T,
             dtype=config.em_dtype,
-            weight=weight,
         )
         jax.block_until_ready(weighted)
     return QuantResult(
@@ -529,6 +529,57 @@ def quantify(
         timing=timer.report(),
         lengths=np.asarray(index.lengths),
     )
+
+
+# Classes narrower than this many candidates go to the "narrow" EM table.
+_EM_NARROW_WIDTH = 8
+
+
+def _em_tables(tbl_tid, tbl_score, config: QuantConfig):
+    """Prepare the EM working set: equivalence classes (optional) plus a
+    narrow/wide width partition.
+
+    Most classes have a handful of candidates while the table width W is
+    forced by the most ambiguous read; splitting into a [M, 8] narrow
+    table and a [~n_wide, W] wide table keeps the per-iteration scatter
+    lanes near the true pair count.  Exact: every class carries weight in
+    exactly one partition (weight 0 rows are inert), and narrow rows
+    truncate only all-zero lanes (class rows are rank-ordered).
+    """
+    tid, score, weight = _maybe_classes(tbl_tid, tbl_score, config)
+    M, W = tid.shape
+    if W <= _EM_NARROW_WIDTH or M < 1024:
+        return ((tid, score, weight),)
+    if weight is None:
+        weight = jnp.ones(M, jnp.int32)
+    n_cand = jnp.sum(score > 0, axis=1)
+    is_wide = n_cand > _EM_NARROW_WIDTH
+    n_wide = int(jnp.sum(is_wide))
+    if n_wide == 0:
+        return (
+            (
+                jax.lax.slice_in_dim(tid, 0, _EM_NARROW_WIDTH, axis=1),
+                jax.lax.slice_in_dim(score, 0, _EM_NARROW_WIDTH, axis=1),
+                weight,
+            ),
+        )
+    order = jnp.argsort(jnp.logical_not(is_wide), stable=True)  # wide rows first
+    t_s = tid[order]
+    s_s = score[order]
+    w_s = weight[order]
+    Nw = min(1 << max(n_wide - 1, 0).bit_length(), M)
+    wide = (
+        jax.lax.slice_in_dim(t_s, 0, Nw, axis=0),
+        jax.lax.slice_in_dim(s_s, 0, Nw, axis=0),
+        jnp.where(jnp.arange(Nw) < n_wide, jax.lax.slice_in_dim(w_s, 0, Nw), 0),
+    )
+    narrow = (
+        t_s[:, :_EM_NARROW_WIDTH],
+        s_s[:, :_EM_NARROW_WIDTH],
+        jnp.where(jnp.arange(M) < n_wide, 0, w_s),
+    )
+    log.info("EM width partition: %d wide classes of %d (W=%d)", n_wide, M, W)
+    return (narrow, wide)
 
 
 def _maybe_classes(tbl_tid, tbl_score, config: QuantConfig):
@@ -608,13 +659,12 @@ def _quantify_fused(
     tbl_score = jax.lax.slice_in_dim(tbl_score, 0, W, axis=1)
 
     with timer.phase("classes"):
-        tbl_tid, tbl_score, weight = _maybe_classes(tbl_tid, tbl_score, config)
-        jax.block_until_ready(tbl_tid)
+        tables = _em_tables(tbl_tid, tbl_score, config)
+        jax.block_until_ready(tables[0][0])
 
     with timer.phase("em"):
-        pi, iters = run_em_tables(
-            tbl_tid,
-            tbl_score,
+        pi, iters = run_em_partitioned(
+            tables,
             jnp.asarray(packed.num_reads, jnp.int32),
             num_transcripts=index.num_transcripts,
             max_iterations=config.em_max_iterations,
@@ -622,18 +672,15 @@ def _quantify_fused(
             pseudocount=config.pseudocount,
             epsilon=config.em_epsilon,
             dtype=config.em_dtype,
-            weight=weight,
         )
         jax.block_until_ready(pi)
     with timer.phase("assignment"):
-        weighted, has_entry = assign_reads_tables(
-        tbl_tid,
-        tbl_score,
-        pi,
-        num_transcripts=index.num_transcripts,
-        dtype=config.em_dtype,
-        weight=weight,
-    )
+        weighted, has_entry = assign_reads_partitioned(
+            tables,
+            pi,
+            num_transcripts=index.num_transcripts,
+            dtype=config.em_dtype,
+        )
     jax.block_until_ready(weighted)
     host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
     for key, v in host_stats.items():

@@ -57,3 +57,37 @@ def test_class_em_equals_per_read_em():
         on.weighted_counts, off.weighted_counts, rtol=1e-12, atol=1e-13
     )
     np.testing.assert_array_equal(on.has_entry, off.has_entry)
+
+
+def test_width_partitioned_em_equals_per_read():
+    """Force wide candidate rows (big isoform family) so the narrow/wide
+    EM partition engages, and compare against the unpartitioned path."""
+    rng = np.random.default_rng(888)
+    base = rng.integers(0, 4, size=500).astype(np.uint8)
+    seqs = [base]
+    for _ in range(15):  # 16 isoforms sharing most of the sequence
+        a = int(rng.integers(0, 150))
+        b = int(rng.integers(a, 450))
+        seqs.append(np.concatenate([base[:a], base[b:],
+                                    rng.integers(0, 4, size=40).astype(np.uint8)]))
+    seqs += [rng.integers(0, 4, size=300).astype(np.uint8) for _ in range(4)]
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(kmer_lengths=(31,), batch_size=512, max_read_len=128,
+                      em_dtype="float64", candidate_capacity=32)
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=400, read_len=100, error_rate=0.0)
+             if r.size >= 31] * 4
+    reads = reads[:1500]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    on = quantify(idx, packed, cfg)
+    off = quantify(idx, packed, dataclasses.replace(cfg, em_equivalence_classes=False))
+    assert on.em_iterations == off.em_iterations
+    np.testing.assert_allclose(on.pi, off.pi, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(on.weighted_counts, off.weighted_counts, rtol=1e-12, atol=1e-13)
+    np.testing.assert_array_equal(on.has_entry, off.has_entry)
