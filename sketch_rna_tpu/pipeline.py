@@ -1,10 +1,16 @@
 """End-to-end orchestration: index build and quantification.
 
 Mirrors the reference drivers (build_and_save_index src/main.cpp:56-92,
-quantification src/main.cpp:165-197) with a TPU execution shape: reads
-stream through fixed-size device batches (sketch -> match in one jitted
-program per batch), candidate pairs accumulate as flat CSR arrays, and
-the EM + assignment run as single jitted programs over all pairs.
+quantification src/main.cpp:165-197) with a TPU execution shape:
+
+  - fused path: one lax.scan device program sketches and matches every
+    read batch, producing stacked [N, C] candidate tables;
+  - streaming path (datasets beyond the fused HBM budget): per-batch
+    programs with tables kept on device and narrowed per batch;
+  - either way, identical candidate profiles collapse into weighted
+    equivalence classes, the class tables split into narrow/wide
+    partitions, and the EM + assignment run as jitted programs over
+    those partitions (exact per-read reference math throughout).
 """
 
 from __future__ import annotations
