@@ -194,12 +194,19 @@ def row_events_to_candidates(
     prim_bits = int(W + 2).bit_length()
     tid_bits = 31 - prim_bits
     if 0 < num_transcripts <= (1 << tid_bits):
-        # Pack (rank, tid) into one int32: single-operand row sort.
+        # Pack (rank, tid) into one int32: single-operand selection.
         # Non-candidate lanes carry sentinel-derived tids far beyond T;
         # zero them (their rank byte already sorts them last).
         tid_c = jnp.where(meets, tid, 0)
         packed = (prim << tid_bits) | tid_c
-        s_packed = jnp.sort(packed, axis=-1)[:, :C]
+        if C < W:
+            # Smallest C of W via top_k on the negation (top_k returns
+            # descending, so negating twice yields ascending packed
+            # keys) — cheaper than a full-width row sort.
+            vals, _ = jax.lax.top_k(-packed, C)
+            s_packed = -vals
+        else:
+            s_packed = jnp.sort(packed, axis=-1)[:, :C]
         s_prim_c = s_packed >> tid_bits
         tbl_mask = s_prim_c < big
         tbl_tid = jnp.where(tbl_mask, s_packed & ((1 << tid_bits) - 1), 0)
