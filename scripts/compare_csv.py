@@ -1,0 +1,81 @@
+"""Compare two quant CSVs (ours vs the C++ reference, or any pair).
+
+Implements the BASELINE north-star acceptance check: row-set equality,
+rank-identity of EM_Abundance (and NumReads), and max-abs / max-rel
+value differences.  Row ORDER is ignored (the reference's order is
+unordered_map-nondeterministic, quirk Q4).
+
+Usage: python scripts/compare_csv.py ours.csv theirs.csv [--rel-tol 1e-4]
+"""
+
+import argparse
+import csv
+import sys
+
+
+def load(path):
+    with open(path) as fh:
+        rows = list(csv.DictReader(fh))
+    return {
+        r["Name"]: (float(r["NumReads"]), float(r["EM_Abundance"])) for r in rows
+    }
+
+
+def rank_of(d, key_idx):
+    items = sorted(d.items(), key=lambda kv: (-kv[1][key_idx], kv[0]))
+    return [name for name, _ in items]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("a")
+    ap.add_argument("b")
+    ap.add_argument("--rel-tol", type=float, default=1e-4)
+    args = ap.parse_args()
+    a, b = load(args.a), load(args.b)
+
+    ok = True
+    only_a = set(a) - set(b)
+    only_b = set(b) - set(a)
+    if only_a or only_b:
+        ok = False
+        print(f"ROW SET MISMATCH: {len(only_a)} only in {args.a}, {len(only_b)} only in {args.b}")
+        for n in list(only_a)[:5]:
+            print(f"  only in a: {n}")
+        for n in list(only_b)[:5]:
+            print(f"  only in b: {n}")
+
+    common = sorted(set(a) & set(b))
+    max_abs = [0.0, 0.0]
+    max_rel = [0.0, 0.0]
+    for name in common:
+        for i in range(2):
+            va, vb = a[name][i], b[name][i]
+            d = abs(va - vb)
+            max_abs[i] = max(max_abs[i], d)
+            denom = max(abs(va), abs(vb), 1e-30)
+            max_rel[i] = max(max_rel[i], d / denom)
+
+    ra = rank_of({n: a[n] for n in common}, 1)
+    rb = rank_of({n: b[n] for n in common}, 1)
+    rank_match = ra == rb
+    if not rank_match:
+        first = next(i for i, (x, y) in enumerate(zip(ra, rb)) if x != y)
+        print(f"ABUNDANCE RANK MISMATCH at position {first}: {ra[first]} vs {rb[first]}")
+
+    print(
+        f"rows={len(common)} rank_identical={rank_match} "
+        f"max_abs_diff(NumReads)={max_abs[0]:.3e} max_abs_diff(EM_Abundance)={max_abs[1]:.3e} "
+        f"max_rel_diff(NumReads)={max_rel[0]:.3e} max_rel_diff(EM_Abundance)={max_rel[1]:.3e}"
+    )
+    if max_rel[0] > args.rel_tol or max_rel[1] > args.rel_tol:
+        ok = False
+        print(f"VALUE TOLERANCE EXCEEDED (rel tol {args.rel_tol})")
+    if not rank_match:
+        ok = False
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
