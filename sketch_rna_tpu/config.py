@@ -20,7 +20,7 @@ never silent.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,9 +60,10 @@ class QuantConfig:
     # transcriptome ambiguity, not read count).
     em_equivalence_classes: bool = True
 
-    def sketch_capacity_for(self, k: int) -> int:
-        """Auto-size sketch capacity from the padded read length."""
-        n_kmers = max(self.max_read_len - k + 1, 1)
+    def sketch_capacity_for(self, k: int, read_len: Optional[int] = None) -> int:
+        """Auto-size sketch capacity from the padded read length (or an
+        explicit per-bucket width)."""
+        n_kmers = max((read_len or self.max_read_len) - k + 1, 1)
         import math
 
         expected = n_kmers * self.sketch_fraction

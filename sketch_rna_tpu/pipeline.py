@@ -615,44 +615,88 @@ def _maybe_classes(tbl_tid, tbl_score, config: QuantConfig):
     return cls_tid, cls_score, weight
 
 
+def _pad_pow2_len(n: int) -> int:
+    p = 256
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig, timer):
+    """Run the fused match scan, bucketing reads by power-of-two padded
+    length.  Returns (tbl_tid [N,C], tbl_score, n_cand_max int, stats
+    dict of device arrays list)."""
+    ks = tuple(index.kmer_lengths)
+    bpacked, postings, bucket_meta = _device_index(index, ks)
+    bpacked = tuple(jnp.asarray(a) for a in bpacked)
+    postings = tuple(jnp.asarray(a) for a in postings)
+    B = config.batch_size
+    R = packed.num_reads
+
+    lengths_np = np.asarray(packed.lengths)
+    pads = np.array([_pad_pow2_len(int(l)) for l in lengths_np], dtype=np.int64)
+    unique_pads = sorted(set(pads.tolist()))
+
+    codes_dev = jnp.asarray(packed.codes)
+    lengths_dev = jnp.asarray(packed.lengths, dtype=jnp.int32)
+
+    tbl_parts = []
+    ncm = 0
+    stats_parts = []
+    for pad in unique_pads:
+        if len(unique_pads) == 1:
+            codes_b = codes_dev[:, : min(pad, packed.padded_len)]
+            lengths_b = lengths_dev
+            n_b = R
+        else:
+            rows = np.flatnonzero(pads == pad)
+            n_b = rows.size
+            rows_dev = jnp.asarray(rows.astype(np.int32))
+            codes_b = codes_dev[rows_dev][:, : min(pad, packed.padded_len)]
+            lengths_b = lengths_dev[rows_dev]
+        nb_b = max((n_b + B - 1) // B, 1)
+        Nb = nb_b * B
+        L = codes_b.shape[1]
+        codes_all = jnp.pad(codes_b, ((0, Nb - n_b), (0, 0))).reshape(nb_b, B, L)
+        lengths_all = jnp.pad(lengths_b, (0, Nb - n_b)).reshape(nb_b, B)
+        caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
+        t, s, nc, st = match_scan(
+            codes_all,
+            lengths_all,
+            bpacked,
+            postings,
+            kmer_lengths=ks,
+            sketch_fraction=config.sketch_fraction,
+            sketch_caps=caps,
+            chain_fraction=config.chain_fraction,
+            expand_per_read=config.expand_per_read,
+            candidate_capacity=config.candidate_capacity,
+            bucket_meta=bucket_meta,
+            use_pallas_sketch=config.use_pallas_sketch,
+            num_transcripts=index.num_transcripts,
+        )
+        tbl_parts.append((t, s))
+        ncm = max(ncm, int(nc))
+        stats_parts.append(st)
+    if len(tbl_parts) == 1:
+        tbl_tid, tbl_score = tbl_parts[0]
+    else:
+        tbl_tid = jnp.concatenate([t for t, _ in tbl_parts])
+        tbl_score = jnp.concatenate([s for _, s in tbl_parts])
+    stats = {
+        k: sum(int(np.asarray(st[k]).sum()) for st in stats_parts)
+        for k in stats_parts[0]
+    }
+    return tbl_tid, tbl_score, ncm, stats
+
+
 def _quantify_fused(
     index: IndexArtifact, packed: PackedReads, config: QuantConfig, nb: int
 ) -> QuantResult:
-    ks = tuple(index.kmer_lengths)
-    caps = tuple(config.sketch_capacity_for(k) for k in ks)
-    bpacked, postings, bucket_meta = _device_index(index, ks)
-    B = config.batch_size
-    N = nb * B
-    L = packed.padded_len
-    # Pad/reshape on DEVICE: one H2D transfer of the raw arrays, no big
-    # host-side copies (host array ops are orders of magnitude slower
-    # than the transfer on weak-CPU hosts).
-    R = packed.num_reads
-    codes_all = jnp.pad(jnp.asarray(packed.codes), ((0, N - R), (0, 0))).reshape(
-        nb, B, L
-    )
-    lengths_all = jnp.pad(
-        jnp.asarray(packed.lengths, dtype=jnp.int32), (0, N - R)
-    ).reshape(nb, B)
-
     from sketch_rna_tpu.utils.timing import PhaseTimer
 
     timer = PhaseTimer()
-    tbl_tid, tbl_score, n_cand_max, stats = match_scan(
-        codes_all,
-        lengths_all,
-        tuple(jnp.asarray(a) for a in bpacked),
-        tuple(jnp.asarray(a) for a in postings),
-        kmer_lengths=ks,
-        sketch_fraction=config.sketch_fraction,
-        sketch_caps=caps,
-        chain_fraction=config.chain_fraction,
-        expand_per_read=config.expand_per_read,
-        candidate_capacity=config.candidate_capacity,
-        bucket_meta=bucket_meta,
-        use_pallas_sketch=config.use_pallas_sketch,
-        num_transcripts=index.num_transcripts,
-    )
+    tbl_tid, tbl_score, n_cand_max, stats = _match_tables(index, packed, config, timer)
     with timer.phase("match_scan", items=packed.num_reads):
         jax.block_until_ready(tbl_tid)
     # Tables are rank-ordered per read, so narrowing to the max per-read
