@@ -34,14 +34,16 @@ def _bitonic_pass(x, j, k, W):
     # equivalent of -d.
     partner_hi = pltpu.roll(x, W - d, 1)  # value at lane i+d
     partner_lo = pltpu.roll(x, d, 1)  # value at lane i-d
-    is_lower = (lane & d) == 0  # lower half of each pair
-    partner = jnp.where(is_lower, partner_hi, partner_lo)
-    # Direction: ascending iff bit k of lane is 0 (standard bitonic).
-    asc = (lane & (1 << k)) == 0
-    keep_min = jnp.where(asc, is_lower, jnp.logical_not(is_lower))
+    # All selects as full-width bitwise masks (Mosaic-friendly: no i1
+    # vector truncation).  m_* are 0 or -1 (all ones).
+    m_lower = ((lane & d) == 0).astype(jnp.int32) * jnp.int32(-1)
+    partner = (partner_hi & m_lower) | (partner_lo & ~m_lower)
+    # Ascending iff bit k (merge size) of lane is 0 (standard bitonic).
+    m_asc = ((lane & (1 << k)) == 0).astype(jnp.int32) * jnp.int32(-1)
+    m_keep_min = (m_asc & m_lower) | (~m_asc & ~m_lower)
     mn = jnp.minimum(x, partner)
     mx = jnp.maximum(x, partner)
-    return jnp.where(keep_min, mn, mx)
+    return (mn & m_keep_min) | (mx & ~m_keep_min)
 
 
 def _sort_kernel(x_ref, o_ref, *, W: int):
