@@ -130,7 +130,9 @@ def _load_reads(reads_path: str, idx, config: QuantConfig, use_native: bool):
     from sketch_rna_tpu.io.packing import pack_reads
 
     max_k = max(idx.kmer_lengths)
-    if use_native:
+    with open(reads_path, "rb") as probe:
+        is_gzip = probe.read(2) == b"\x1f\x8b"
+    if use_native and not is_gzip:
         from sketch_rna_tpu.io import native
 
         if native.native_available():

@@ -26,6 +26,19 @@ from typing import Dict, List
 from sketch_rna_tpu.io.packing import is_valid_sequence
 
 
+def open_maybe_gzip(path: str):
+    """Open text, transparently decompressing gzip (magic 1f 8b) — real
+    FASTQ/FASTA files usually ship compressed; the reference cannot read
+    them (raw ifstream), we can."""
+    import gzip
+
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
 @dataclasses.dataclass
 class FastaRecords:
     names: List[str]  # insertion order (first occurrence wins on dup IDs)
@@ -59,7 +72,7 @@ def load_fasta(path: str) -> FastaRecords:
 
     cur_id = ""
     parts: List[str] = []
-    with open(path, "r") as fh:
+    with open_maybe_gzip(path) as fh:
         for line in fh:
             line = line.rstrip("\n")
             if not line:

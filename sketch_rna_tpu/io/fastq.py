@@ -18,10 +18,12 @@ from __future__ import annotations
 
 from typing import Dict, Iterator, Tuple
 
+from sketch_rna_tpu.io.fasta import open_maybe_gzip
+
 
 def iter_fastq_records(path: str) -> Iterator[Tuple[str, str, str]]:
     """Yield (id, sequence, quality) tuples, reference header heuristics."""
-    with open(path, "r") as fh:
+    with open_maybe_gzip(path) as fh:
         it = iter(fh)
         for line in it:
             line = line.rstrip("\n")
