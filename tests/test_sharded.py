@@ -94,3 +94,28 @@ def test_sharded_matches_single_device(problem, shape):
     np.testing.assert_allclose(np.asarray(weighted), ref.weighted_counts, rtol=1e-12, atol=1e-14)
     np.testing.assert_array_equal(np.asarray(has_entry), ref.has_entry)
     assert int(iters) == ref.em_iterations
+
+
+def test_sharded_matches_single_midscale():
+    """Mid-scale multi-k sharded equality (beyond the tiny fixture)."""
+    rng = np.random.default_rng(4242)
+    seqs = make_transcriptome(rng, n=100, len_range=(100, 600))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(kmer_lengths=(21, 31), batch_size=1024, max_read_len=128,
+                      em_dtype="float64", expand_per_read=128, candidate_capacity=32)
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=4096, read_len=100) if r.size >= 31]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    from sketch_rna_tpu.pipeline import quantify_sharded
+
+    a = quantify(idx, packed, cfg)
+    b = quantify_sharded(idx, packed, cfg)
+    np.testing.assert_allclose(a.pi, b.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(a.weighted_counts, b.weighted_counts, rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(a.has_entry, b.has_entry)
