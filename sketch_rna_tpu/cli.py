@@ -41,7 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
         prog="sketch-rna-tpu",
         description="TPU-native alignment-free RNA-seq isoform quantification "
         "(index/quant modes mirror the reference tool).",
+        epilog="Examples:\n"
+        "  sketch-rna-tpu -o index -k 31 ref.fasta ref.skidx.npz\n"
+        "  sketch-rna-tpu -o quant ref.skidx.npz reads.fastq out.csv\n"
+        "  sketch-rna-tpu -o quant idx s1.fq.gz,s2.fq.gz out.csv   (multi-sample)\n"
+        "  sketch-rna-tpu -o quant --sharded --tpm idx reads.fq out.csv",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
     )
+    from sketch_rna_tpu import __version__
+
+    p.add_argument("--version", action="version", version=f"%(prog)s {__version__}")
     p.add_argument("-o", "--mode", choices=["index", "quant"], default="quant")
     p.add_argument("-k", "--kmer-length", type=_parse_kmer_list, default=(31,), metavar="K[,K...]")
     p.add_argument("positional", nargs="*", help="index: <ref.fasta> <index_out> | quant: <index> <reads.fastq> <out.csv>")
