@@ -55,11 +55,12 @@ def _body(
 ):
     Bl = codes.shape[0]  # local read rows
     K = len(kmer_lengths)
-    hashes, masks = [], []
+    hashes, masks, sk_ovs = [], [], []
     for k, cap in zip(kmer_lengths, sketch_caps):
-        h, m, _ = sketch_batch(codes, lengths, k, sketch_fraction, cap)
+        h, m, ov = sketch_batch(codes, lengths, k, sketch_fraction, cap)
         hashes.append(h)
         masks.append(m)
+        sk_ovs.append(ov)
 
     # Local index shard: strip the leading shard axis.
     lkeys = [a[0] for a in keys]
@@ -122,6 +123,9 @@ def _body(
             jax.lax.psum(jnp.stack(drops), "index"), "data"
         ),
         "candidate_spilled": jax.lax.psum(result.stats["candidate_spilled"], "data"),
+        "sketch_overflow": jax.lax.psum(
+            jax.lax.psum(jnp.stack(sk_ovs), "index"), "data"
+        ),
     }
     return pi, weighted, has_entry, iters, stats
 
@@ -190,7 +194,13 @@ def quant_step_sharded(
         tuple(P("index", None) for _ in range(K)),  # postings
         P(),  # num_reads
     )
-    out_specs = (P(), P(), P(), P(), {"expand_dropped": P(), "candidate_spilled": P()})
+    out_specs = (
+        P(),
+        P(),
+        P(),
+        P(),
+        {"expand_dropped": P(), "candidate_spilled": P(), "sketch_overflow": P()},
+    )
     return jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )(codes, lengths, keys, row_ptr, postings, num_reads)
