@@ -123,9 +123,9 @@ def _body(
             jax.lax.psum(jnp.stack(drops), "index"), "data"
         ),
         "candidate_spilled": jax.lax.psum(result.stats["candidate_spilled"], "data"),
-        "sketch_overflow": jax.lax.psum(
-            jax.lax.psum(jnp.stack(sk_ovs), "index"), "data"
-        ),
+        # Sketching is replicated across the index axis (every index
+        # rank sketches the same read shard), so sum over "data" only.
+        "sketch_overflow": jax.lax.psum(jnp.stack(sk_ovs), "data"),
     }
     return pi, weighted, has_entry, iters, stats
 
