@@ -155,7 +155,7 @@ def _load_reads(reads_path: str, idx, config: QuantConfig, use_native: bool):
                 grown[:, : packed.padded_len] = packed.codes
                 packed.codes = grown
             return packed
-    reads = load_fastq_dict(reads_path)
+    reads = load_fastq_dict(reads_path, min_len=max_k)
     longest = max((len(s) for s in reads.values()), default=0)
     pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
     packed, n_invalid, n_too_long = pack_reads(

@@ -52,6 +52,10 @@ class QuantConfig:
     # dtype for EM/assignment accumulation: "float64" matches the reference
     # (C++ double) bit-for-bit on CPU; use "float32" on TPU.
     em_dtype: str = "float32"
+    # Tiered posting-expansion windows: batch rows sort by event count and
+    # each tier gets a window sized to its rank (match/rowmatch.tier_plan)
+    # — ~6x fewer expanded lanes than a flat expand_per_read window.
+    match_tiers: bool = True
     # Use the Pallas fused hash+threshold kernel for sketching (TPU only;
     # the jnp windowed-XOR path is the portable reference).
     use_pallas_sketch: bool = False

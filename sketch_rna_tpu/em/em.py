@@ -84,9 +84,12 @@ def run_em(
     # C++: float pseudocount = 0.01; 'pseudocount / R' divides in float32
     # (size_t -> float conversion), each addition then promotes.
     pcf = jnp.float32(pseudocount)
-    # Both addends stay at float32 precision before promotion, exactly as
-    # the C++ 'float pseudocount' (src/isoform_assignment.cpp:54-60).
-    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + pcf.astype(dt)
+    # Both addends stay at float32 precision before promotion, and the
+    # additions run in the C++ source order — (posterior_sum + pc/R) + pc
+    # left-to-right (src/isoform_assignment.cpp:54-60) — so float64 runs
+    # match the reference to the last ulp.
+    term_div = (pcf / num_reads.astype(jnp.float32)).astype(dt)
+    term_pc = pcf.astype(dt)
 
     def e_step(pi):
         w = pi[pair_tid] * score
@@ -102,7 +105,7 @@ def run_em(
 
     def body(state):
         pi, it, _ = state
-        new_pi = e_step(pi) + term
+        new_pi = (e_step(pi) + term_div) + term_pc
         change = jnp.sum(jnp.abs(new_pi - pi))
         return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
 
@@ -162,9 +165,12 @@ def run_em_tables(
         else jnp.asarray(init_pi, dtype=dt)
     )
     pcf = jnp.float32(pseudocount)
-    # Both addends stay at float32 precision before promotion, exactly as
-    # the C++ 'float pseudocount' (src/isoform_assignment.cpp:54-60).
-    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + pcf.astype(dt)
+    # Both addends stay at float32 precision before promotion, and the
+    # additions run in the C++ source order — (posterior_sum + pc/R) + pc
+    # left-to-right (src/isoform_assignment.cpp:54-60) — so float64 runs
+    # match the reference to the last ulp.
+    term_div = (pcf / num_reads.astype(jnp.float32)).astype(dt)
+    term_pc = pcf.astype(dt)
 
     wgt = None if weight is None else weight.astype(dt)[:, None]
 
@@ -184,7 +190,7 @@ def run_em_tables(
 
     def body(state):
         pi, it, _ = state
-        new_pi = e_step(pi) + term
+        new_pi = (e_step(pi) + term_div) + term_pc
         change = jnp.sum(jnp.abs(new_pi - pi))
         return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
 
@@ -236,7 +242,9 @@ def run_em_partitioned(
 
     pi0 = jnp.full(T, 1.0 / T, dtype=dt)
     pcf = jnp.float32(pseudocount)
-    term = (pcf / num_reads.astype(jnp.float32)).astype(dt) + pcf.astype(dt)
+    # Reference addition order: (posterior_sum + pc/R) + pc, left-to-right.
+    term_div = (pcf / num_reads.astype(jnp.float32)).astype(dt)
+    term_pc = pcf.astype(dt)
 
     def e_step(pi):
         ps = jnp.zeros(T, dt)
@@ -258,7 +266,7 @@ def run_em_partitioned(
 
     def body(state):
         pi, it, _ = state
-        new_pi = e_step(pi) + term
+        new_pi = (e_step(pi) + term_div) + term_pc
         change = jnp.sum(jnp.abs(new_pi - pi))
         return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
 

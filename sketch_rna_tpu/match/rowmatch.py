@@ -153,40 +153,55 @@ def row_events_to_candidates(
     cnt_end = i_idx - start_pos + 1
 
     tid = keym // K
-    kid = keym - tid * K
 
     p, q = _fraction_compare_params(chain_fraction)
-    maxk: List[jnp.ndarray] = []
-    csk: List[jnp.ndarray] = []
-    for ki in range(K):
-        ck = jnp.where(is_end & (kid == ki), cnt_end, 0)
-        maxk.append(jnp.max(ck, axis=1))  # [B]
-        csk.append(jnp.cumsum(ck, axis=1))  # [B, W] inclusive
-
-    # tid-group boundaries (a tid's <=K runs are adjacent after the sort).
-    tprev = _shift_right(tid, jnp.int32(-1))
-    tnxt = _shift_left(tid, _I32_MAX)
-    is_tstart = valid & (tid != tprev)
-    is_tend = valid & (tid != tnxt)
-    tstart_pos = jax.lax.cummax(jnp.where(is_tstart, i_idx, -1), axis=1)
-
-    meets = is_tend
-    score = jnp.zeros((B, W), jnp.int32)
-    for ki in range(K):
-        base = jnp.where(
-            tstart_pos > 0,
-            jnp.take_along_axis(csk[ki], jnp.maximum(tstart_pos - 1, 0), axis=1),
-            0,
-        )
-        cnt_k = csk[ki] - base  # per-tid count for k, valid at tend lanes
+    if K == 1:
+        # Every run IS a tid group: the count is live at the run's end
+        # lane; no cumsum/base machinery needed at all.
+        ck = jnp.where(is_end, cnt_end, 0)
+        maxc = jnp.max(ck, axis=1)  # [B]
         if q > 0:
-            ok = cnt_k * q >= maxk[ki][:, None] * p
+            ok = ck * q >= maxc[:, None] * p
         else:
-            ok = cnt_k.astype(jnp.float32) >= jnp.float32(chain_fraction) * maxk[ki][
+            ok = ck.astype(jnp.float32) >= jnp.float32(chain_fraction) * maxc[
                 :, None
             ].astype(jnp.float32)
-        meets = meets & ok
-        score = score + cnt_k
+        meets = is_end & ok
+        score = ck
+    else:
+        kid = keym - tid * K
+        maxk: List[jnp.ndarray] = []
+        csk: List[jnp.ndarray] = []
+        for ki in range(K):
+            ck = jnp.where(is_end & (kid == ki), cnt_end, 0)
+            maxk.append(jnp.max(ck, axis=1))  # [B]
+            csk.append(jnp.cumsum(ck, axis=1))  # [B, W] inclusive
+
+        # tid-group boundaries (a tid's <=K runs are adjacent after the
+        # sort).
+        tprev = _shift_right(tid, jnp.int32(-1))
+        tnxt = _shift_left(tid, _I32_MAX)
+        is_tstart = valid & (tid != tprev)
+        is_tend = valid & (tid != tnxt)
+
+        meets = is_tend
+        score = jnp.zeros((B, W), jnp.int32)
+        for ki in range(K):
+            # Group base = csk just before the group's first lane.  csk is
+            # row-nondecreasing, so a cummax over (is_tstart ? shifted csk
+            # : 0) propagates the most recent group's base to every lane —
+            # no take_along_axis gather (gathers are ~10x a VPU scan).
+            pre = _shift_right(csk[ki], jnp.int32(0))
+            base = jax.lax.cummax(jnp.where(is_tstart, pre, 0), axis=1)
+            cnt_k = csk[ki] - base  # per-tid count for k, valid at tend lanes
+            if q > 0:
+                ok = cnt_k * q >= maxk[ki][:, None] * p
+            else:
+                ok = cnt_k.astype(jnp.float32) >= jnp.float32(chain_fraction) * maxk[
+                    ki
+                ][:, None].astype(jnp.float32)
+            meets = meets & ok
+            score = score + cnt_k
 
     # Top-C by (score desc, tid asc): one more row sort.
     big = jnp.int32(W + 2)
@@ -220,6 +235,128 @@ def row_events_to_candidates(
     n_cand = jnp.sum(meets.astype(jnp.int32), axis=1)
     stats = {"candidate_spilled": jnp.sum(jnp.maximum(n_cand - C, 0))}
     return MatchResult(tid=tbl_tid, score=tbl_score, mask=tbl_mask, stats=stats)
+
+
+def tier_plan(B: int, events_per_read: int) -> Tuple[Tuple[int, int], ...]:
+    """Static event-window tiers: ((rows, window), ...) covering B batch
+    rows, assuming rows are sorted ascending by per-read event count.
+
+    Measured event distribution (bench + GENCODE configs): the median
+    read produces ~6-12 posting events per k while the window must be
+    sized for the ambiguous tail (256 on isoform families).  Giving 3/4
+    of the batch a 16-lane window, 3/16 a 64-lane window and the top
+    1/16 the full budget cuts the expanded lanes ~6x with zero loss
+    whenever the per-rank event counts fit their tier (spills are
+    counted, never silent — same policy as the flat window).
+    """
+    if B < 1024 or events_per_read <= 32:
+        return ((B, events_per_read),)
+    widths = [w for w in (16, 64) if w < events_per_read]
+    widths.append(events_per_read)
+    fracs16 = [12, 3, 1] if len(widths) == 3 else [12, 4]
+    rows = [(B * f) // 16 for f in fracs16[:-1]]
+    rows.append(B - sum(rows))
+    return tuple(zip(rows, widths))
+
+
+def row_match_runs_tiered(
+    starts: Sequence[jnp.ndarray],
+    lens: Sequence[jnp.ndarray],
+    postings: Sequence[jnp.ndarray],
+    *,
+    num_k: int,
+    events_per_read: int,
+    chain_fraction: float,
+    candidate_capacity: int,
+    num_transcripts: int = 0,
+) -> Tuple[MatchResult, jnp.ndarray]:
+    """Tiered expand+group: sort batch rows by their max per-k event
+    count, then give each tier a window sized to its rank (tier_plan).
+
+    starts/lens: per-k [B, S] posting-run arrays from the index probe.
+    Returns (MatchResult with ROWS PERMUTED by ascending event count,
+    perm) — callers that need original read order apply argsort(perm);
+    the EM/assignment paths treat reads as an unordered bag and skip it.
+    """
+    B = starts[0].shape[0]
+    K = num_k
+    C = candidate_capacity
+    plan = tier_plan(B, events_per_read)
+
+    if len(plan) == 1:
+        parts, drops = [], []
+        for ki in range(K):
+            key, d = row_expand_from_runs(
+                starts[ki],
+                lens[ki],
+                postings[ki],
+                events_per_read=events_per_read,
+                k_index=ki,
+                num_k=K,
+            )
+            parts.append(key)
+            drops.append(d)
+        result = row_events_to_candidates(
+            jnp.concatenate(parts, axis=1) if K > 1 else parts[0],
+            num_k=K,
+            chain_fraction=chain_fraction,
+            candidate_capacity=C,
+            num_transcripts=num_transcripts,
+        )
+        result.stats["expand_dropped"] = jnp.stack(drops)
+        return result, jnp.arange(B, dtype=jnp.int32)
+
+    totals = [jnp.sum(l, axis=1) for l in lens]
+    tier_key = totals[0]
+    for t in totals[1:]:
+        tier_key = jnp.maximum(tier_key, t)
+    perm = jnp.argsort(tier_key).astype(jnp.int32)
+    starts_p = [jnp.take(s, perm, axis=0) for s in starts]
+    lens_p = [jnp.take(l, perm, axis=0) for l in lens]
+
+    tid_parts, score_parts, mask_parts = [], [], []
+    drops = [jnp.zeros((), jnp.int32) for _ in range(K)]
+    spilled = jnp.zeros((), jnp.int32)
+    row0 = 0
+    for rows, w in plan:
+        parts = []
+        for ki in range(K):
+            s_t = jax.lax.slice_in_dim(starts_p[ki], row0, row0 + rows, axis=0)
+            l_t = jax.lax.slice_in_dim(lens_p[ki], row0, row0 + rows, axis=0)
+            key, d = row_expand_from_runs(
+                s_t, l_t, postings[ki], events_per_read=w, k_index=ki, num_k=K
+            )
+            parts.append(key)
+            drops[ki] = drops[ki] + d
+        res = row_events_to_candidates(
+            jnp.concatenate(parts, axis=1) if K > 1 else parts[0],
+            num_k=K,
+            chain_fraction=chain_fraction,
+            candidate_capacity=C,
+            num_transcripts=num_transcripts,
+        )
+        t, s, m = res.tid, res.score, res.mask
+        if t.shape[1] < C:
+            padw = C - t.shape[1]
+            t = jnp.pad(t, ((0, 0), (0, padw)))
+            s = jnp.pad(s, ((0, 0), (0, padw)))
+            m = jnp.pad(m, ((0, 0), (0, padw)))
+        tid_parts.append(t)
+        score_parts.append(s)
+        mask_parts.append(m)
+        spilled = spilled + res.stats["candidate_spilled"]
+        row0 += rows
+
+    result = MatchResult(
+        tid=jnp.concatenate(tid_parts),
+        score=jnp.concatenate(score_parts),
+        mask=jnp.concatenate(mask_parts),
+        stats={
+            "candidate_spilled": spilled,
+            "expand_dropped": jnp.stack(drops),
+        },
+    )
+    return result, perm
 
 
 def row_match(

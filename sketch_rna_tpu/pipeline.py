@@ -37,6 +37,7 @@ from sketch_rna_tpu.match.bucket_lookup import bucket_lookup, build_bucket_table
 from sketch_rna_tpu.match.rowmatch import (
     row_events_to_candidates,
     row_expand_from_runs,
+    row_match_runs_tiered,
 )
 from sketch_rna_tpu.em.classes import group_candidate_rows
 from sketch_rna_tpu.hash.pallas_hash import sketch_batch_pallas
@@ -115,6 +116,8 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
         "bucket_meta",
         "use_pallas_sketch",
         "num_transcripts",
+        "match_tiers",
+        "restore_order",
     ),
 )
 def sketch_match_step(
@@ -132,6 +135,8 @@ def sketch_match_step(
     bucket_meta: Tuple[Tuple[int, int], ...],
     use_pallas_sketch: bool = False,
     num_transcripts: int = 0,
+    match_tiers: bool = True,
+    restore_order: bool = False,
 ):
     """One device batch: per-k sketching + candidate matching.
 
@@ -139,36 +144,68 @@ def sketch_match_step(
     SURVEY.md §3.2) as a single XLA program: windowed-XOR hashing, two
     short row sorts (sketch dedup), one bucket-table gather per k
     (lookup), comparison-based posting expansion, row-local grouping.
+
+    match_tiers sorts batch rows by event count and sizes each tier's
+    expansion window to its rank (rowmatch.tier_plan) — ~6x fewer
+    expanded lanes.  The returned tables are then in event-count order,
+    which EM/assignment (an unordered bag of reads) never notice;
+    restore_order=True inverts the permutation for callers that map
+    rows back to read ids.
     """
     _sketch = sketch_batch_pallas if use_pallas_sketch else sketch_batch
     K = len(kmer_lengths)
-    overflows, parts, drops = [], [], []
+    overflows, starts, lens = [], [], []
     for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
         h, m, ov = _sketch(codes, lengths, k, sketch_fraction, cap)
         overflows.append(ov)
         shift, mb = bucket_meta[ki]
         start, length = bucket_lookup(h, m, index_packed[ki], shift=shift, mb=mb)
-        key, d = row_expand_from_runs(
-            start,
-            length,
-            index_postings[ki],
-            events_per_read=expand_per_read,
-            k_index=ki,
+        starts.append(start)
+        lens.append(length)
+
+    if match_tiers:
+        result, perm = row_match_runs_tiered(
+            starts,
+            lens,
+            index_postings,
             num_k=K,
+            events_per_read=expand_per_read,
+            chain_fraction=chain_fraction,
+            candidate_capacity=candidate_capacity,
+            num_transcripts=num_transcripts,
         )
-        parts.append(key)
-        drops.append(d)
-    result = row_events_to_candidates(
-        jnp.concatenate(parts, axis=1),
-        num_k=K,
-        chain_fraction=chain_fraction,
-        candidate_capacity=candidate_capacity,
-        num_transcripts=num_transcripts,
-    )
-    stats = dict(result.stats)
-    stats["expand_dropped"] = jnp.stack(drops)
+        tid, score, mask = result.tid, result.score, result.mask
+        if restore_order:
+            inv = jnp.argsort(perm)
+            tid = jnp.take(tid, inv, axis=0)
+            score = jnp.take(score, inv, axis=0)
+            mask = jnp.take(mask, inv, axis=0)
+        stats = dict(result.stats)
+    else:
+        parts, drops = [], []
+        for ki in range(K):
+            key, d = row_expand_from_runs(
+                starts[ki],
+                lens[ki],
+                index_postings[ki],
+                events_per_read=expand_per_read,
+                k_index=ki,
+                num_k=K,
+            )
+            parts.append(key)
+            drops.append(d)
+        result = row_events_to_candidates(
+            jnp.concatenate(parts, axis=1),
+            num_k=K,
+            chain_fraction=chain_fraction,
+            candidate_capacity=candidate_capacity,
+            num_transcripts=num_transcripts,
+        )
+        tid, score, mask = result.tid, result.score, result.mask
+        stats = dict(result.stats)
+        stats["expand_dropped"] = jnp.stack(drops)
     stats["sketch_overflow"] = jnp.stack(overflows)
-    return result.tid, result.score, result.mask, stats
+    return tid, score, mask, stats
 
 
 @partial(
@@ -183,6 +220,7 @@ def sketch_match_step(
         "bucket_meta",
         "use_pallas_sketch",
         "num_transcripts",
+        "match_tiers",
     ),
 )
 def match_scan(
@@ -200,6 +238,7 @@ def match_scan(
     bucket_meta: Tuple[Tuple[int, int], ...],
     use_pallas_sketch: bool = False,
     num_transcripts: int = 0,
+    match_tiers: bool = True,
 ):
     """Sketch + match over all batches in ONE device program (lax.scan)
     — no host roundtrips between batches.  Returns stacked candidate
@@ -225,6 +264,7 @@ def match_scan(
             bucket_meta=bucket_meta,
             use_pallas_sketch=use_pallas_sketch,
             num_transcripts=num_transcripts,
+            match_tiers=match_tiers,
         )
         dropped, spilled, sk_ov, ncm = carry
         n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
@@ -329,6 +369,8 @@ def collect_pairs(
             expand_per_read=config.expand_per_read,
             candidate_capacity=config.candidate_capacity,
             bucket_meta=bucket_meta,
+            match_tiers=config.match_tiers,
+            restore_order=True,
         )
         pending.append((out, row0))
     for (tid, score, mask, s), row0 in pending:
@@ -392,6 +434,7 @@ def collect_tables(
             bucket_meta=bucket_meta,
             use_pallas_sketch=config.use_pallas_sketch,
             num_transcripts=index.num_transcripts,
+            match_tiers=config.match_tiers,
         )
         pending.append(out)
 
@@ -457,6 +500,24 @@ def _pad_pairs(pr, pt, ps, read_capacity: int, multiple: int = 1024):
     return out_r, out_t, out_s
 
 
+def _empty_result(index: IndexArtifact) -> QuantResult:
+    """Zero-valid-reads result, shared by every quant entry point: the
+    reference would run EM over zero reads (pseudocount/0 -> inf pi) and
+    emit a header-only CSV; produce the same empty output without the
+    inf detour."""
+    T = index.num_transcripts
+    return QuantResult(
+        names=list(index.names),
+        pi=np.full(T, 1.0 / max(T, 1)),
+        weighted_counts=np.zeros(T),
+        has_entry=np.zeros(T, dtype=bool),
+        em_iterations=0,
+        num_reads=0,
+        stats={},
+        lengths=np.asarray(index.lengths),
+    )
+
+
 def quantify(
     index: IndexArtifact,
     packed: PackedReads,
@@ -475,19 +536,7 @@ def quantify(
     from sketch_rna_tpu.utils.timing import PhaseTimer
 
     if R == 0:
-        # No valid reads: the reference would run EM over zero reads
-        # (pseudocount/0 -> inf pi) and emit a header-only CSV; produce
-        # the same empty output without the inf detour.
-        return QuantResult(
-            names=list(index.names),
-            pi=np.full(T, 1.0 / max(T, 1)),
-            weighted_counts=np.zeros(T),
-            has_entry=np.zeros(T, dtype=bool),
-            em_iterations=0,
-            num_reads=0,
-            stats={},
-            lengths=np.asarray(index.lengths),
-        )
+        return _empty_result(index)
 
     timer = PhaseTimer()
     B = config.batch_size
@@ -674,6 +723,7 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
             bucket_meta=bucket_meta,
             use_pallas_sketch=config.use_pallas_sketch,
             num_transcripts=index.num_transcripts,
+            match_tiers=config.match_tiers,
         )
         tbl_parts.append((t, s))
         ncm = max(ncm, int(nc))
@@ -769,6 +819,10 @@ def quantify_sharded(
     from sketch_rna_tpu.index.shard import shard_index_arrays
 
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
+    if packed.num_reads == 0:
+        # Same clean empty result as quantify() — without this, padding
+        # to B=0 rows runs EM with pc/0 = inf pi (ADVICE r1).
+        return _empty_result(index)
     if mesh is None:
         dp, ip = mesh_factor(len(jax.devices()))
         mesh = make_mesh(dp, ip)

@@ -30,10 +30,17 @@ _SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 def fracminhash_threshold(fraction: float) -> int:
     """uint32 keep-threshold with the reference's C-cast truncation
-    (src/sketch.cpp:25-26): static_cast<uint32_t>(UINT32_MAX * fraction)."""
+    (src/sketch.cpp:25-26): static_cast<uint32_t>(UINT32_MAX * fraction).
+
+    The reference stores the fraction in a `float` (global sketch_size =
+    0.05f, src/main.cpp:43) that widens to the `double` parameter, so
+    the product uses double(float(fraction)) — e.g. 0.05 yields
+    214748367, not 214748364.  Promote through float32 to match the
+    binary bit-for-bit."""
     if not (0.0 <= fraction < 1.0):
         raise ValueError("fraction must be in [0, 1) — 1.0 would collide with the pad sentinel")
-    return int(float(np.float64(0xFFFFFFFF) * np.float64(fraction)))  # truncates
+    f = np.float64(np.float32(fraction))  # float -> double, like the C++ call
+    return int(float(np.float64(0xFFFFFFFF) * f))  # truncates
 
 
 def sketch_batch(

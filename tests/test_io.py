@@ -60,6 +60,25 @@ def test_fastq_header_heuristic_and_full_id(tmp_path):
     assert d["r2"] == "GGTT"
 
 
+def test_fastq_invalid_duplicate_does_not_clobber(tmp_path):
+    # The reference only inserts VALIDATED reads into read_sketches
+    # (src/main.cpp:132-150): a later invalid or too-short record with
+    # the same ID must not erase an earlier valid read (ADVICE r1).
+    p = tmp_path / "dup.fq"
+    p.write_text(
+        "@r1\nACGTACGTACGT\n+\nIIIIIIIIIIII\n"
+        "@r1\nACGTNNNN\n+\nIIIIIIII\n"  # invalid chars: skipped, not clobbering
+        "@r2\nACGTACGTACGT\n+\nIIIIIIIIIIII\n"
+        "@r2\nACG\n+\nIII\n"  # too short for min_len: skipped
+        "@r3\nACGTACGTACGT\n+\nIIIIIIIIIIII\n"
+        "@r3\nTTTTTTTTTTTT\n+\nIIIIIIIIIIII\n"  # valid dup: last wins
+    )
+    d = load_fastq_dict(str(p), min_len=8)
+    assert d["r1"] == "ACGTACGTACGT"
+    assert d["r2"] == "ACGTACGTACGT"
+    assert d["r3"] == "TTTTTTTTTTTT"
+
+
 def test_pack_reads_filters(tmp_path):
     seqs = ["ACGT" * 10, "ACGTN" + "A" * 40, "ACG", "A" * 50]
     ids = ["ok", "invalid", "short", "ok2"]

@@ -51,3 +51,20 @@ def test_cli_sharded_flag(tmp_path):
     assert cli_main(["-o", "quant", idx, str(fq), out_a]) == 0
     assert cli_main(["-o", "quant", "--sharded", idx, str(fq), out_b]) == 0
     assert open(out_a).read() == open(out_b).read()
+
+
+def test_quantify_sharded_empty_reads():
+    # R == 0 must yield the same clean empty result as quantify(), not
+    # inf pi from the pc/0 EM term (ADVICE r1).
+    rng = np.random.default_rng(57)
+    seqs = make_transcriptome(rng, n=6, len_range=(60, 200))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(kmer_lengths=(31,), batch_size=64, max_read_len=128)
+    idx = build_index(recs, cfg)
+    packed = PackedReads(np.zeros((0, 128), np.uint8), np.zeros(0, np.int32), [])
+    a = quantify(idx, packed, cfg)
+    b = quantify_sharded(idx, packed, cfg)
+    assert b.num_reads == 0 and b.em_iterations == 0
+    assert np.isfinite(b.pi).all()
+    np.testing.assert_array_equal(a.pi, b.pi)
+    np.testing.assert_array_equal(a.has_entry, b.has_entry)

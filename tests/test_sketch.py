@@ -11,8 +11,14 @@ from sketch_rna_tpu.sketch.fracminhash import (
 
 
 def test_threshold_truncating_cast():
-    # static_cast<uint32_t>(UINT32_MAX * 0.05) == 214748364 (truncated).
-    assert fracminhash_threshold(0.05) == int(4294967295 * 0.05)
+    # The reference passes `float sketch_size = 0.05f` into a double
+    # parameter (src/main.cpp:43 -> src/sketch.cpp:25-26), so the
+    # threshold is uint32(4294967295 * double(0.05f)) == 214748367 —
+    # NOT int(4294967295 * 0.05) == 214748364.
+    assert fracminhash_threshold(0.05) == 214748367
+    assert fracminhash_threshold(0.05) == int(
+        np.float64(4294967295) * np.float64(np.float32(0.05))
+    )
     assert fracminhash_threshold(0.0) == 0
     with pytest.raises(ValueError):
         fracminhash_threshold(1.0)
