@@ -63,6 +63,11 @@ class QuantConfig:
     # equivalence classes before EM (exact; EM cost then scales with
     # transcriptome ambiguity, not read count).
     em_equivalence_classes: bool = True
+    # Streaming path: class-buffer row capacity (bounds DISTINCT candidate
+    # profiles, i.e. transcriptome ambiguity — not read count) and reads
+    # per host->device super-chunk.
+    stream_class_capacity: int = 1 << 17
+    stream_chunk_reads: int = 1 << 20
 
     def sketch_capacity_for(self, k: int, read_len: Optional[int] = None) -> int:
         """Auto-size sketch capacity from the padded read length (or an

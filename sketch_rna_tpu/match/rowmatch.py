@@ -237,26 +237,72 @@ def row_events_to_candidates(
     return MatchResult(tid=tbl_tid, score=tbl_score, mask=tbl_mask, stats=stats)
 
 
-def tier_plan(B: int, events_per_read: int) -> Tuple[Tuple[int, int], ...]:
+TIER_FRACS16 = (12, 3, 1)  # sixteenths of the batch per tier
+
+
+def pow2ceil(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length() if n > 1 else 1
+
+
+def tier_plan(
+    B: int,
+    events_per_read: int,
+    tier_widths: Tuple[int, int] = (16, 64),
+) -> Tuple[Tuple[int, int], ...]:
     """Static event-window tiers: ((rows, window), ...) covering B batch
     rows, assuming rows are sorted ascending by per-read event count.
 
-    Measured event distribution (bench + GENCODE configs): the median
-    read produces ~6-12 posting events per k while the window must be
-    sized for the ambiguous tail (256 on isoform families).  Giving 3/4
-    of the batch a 16-lane window, 3/16 a 64-lane window and the top
-    1/16 the full budget cuts the expanded lanes ~6x with zero loss
-    whenever the per-rank event counts fit their tier (spills are
-    counted, never silent — same policy as the flat window).
+    The median read produces ~6-12 posting events per k while the window
+    must be sized for the ambiguous tail (hundreds on isoform families);
+    giving 3/4 of the batch a small window, 3/16 a medium one and the
+    top 1/16 the full events_per_read budget cuts the expanded lanes
+    ~4-6x.  tier_widths supplies the (small, medium) windows — use
+    calibrate_tier_widths so they cover the dataset's actual per-rank
+    event counts (then spills can only occur in the full-budget tail
+    tier, exactly like a flat window).  Adjacent tiers with equal
+    widths merge; the tail tier always gets the full budget.
     """
-    if B < 1024 or events_per_read <= 32:
+    if B < 1024:
         return ((B, events_per_read),)
-    widths = [w for w in (16, 64) if w < events_per_read]
+    widths = [min(w, events_per_read) for w in tier_widths]
     widths.append(events_per_read)
-    fracs16 = [12, 3, 1] if len(widths) == 3 else [12, 4]
-    rows = [(B * f) // 16 for f in fracs16[:-1]]
+    rows = [(B * f) // 16 for f in TIER_FRACS16[:-1]]
     rows.append(B - sum(rows))
-    return tuple(zip(rows, widths))
+    plan: List[Tuple[int, int]] = []
+    for r, w in zip(rows, widths):
+        if plan and plan[-1][1] >= w:
+            plan[-1] = (plan[-1][0] + r, max(plan[-1][1], w))
+        else:
+            plan.append((r, w))
+    return tuple(plan)
+
+
+def calibrate_tier_widths(
+    sorted_totals: "np.ndarray",
+    B: int,
+    events_per_read: int,
+    margin: float = 1.5,
+) -> Tuple[int, int]:
+    """Pick (small, medium) tier windows from a sample of per-read event
+    totals so each tier covers its rank range with headroom.
+
+    sorted_totals: ascending per-read max-per-k event counts from a
+    sample batch (host array).  The window for tier t is
+    pow2ceil(margin * totals[rank of tier t's upper boundary]) — the
+    pow2 rounding plus margin absorbs batch-to-batch quantile noise, and
+    any residual spill is counted and triggers the caller's exact
+    flat-window fallback.
+    """
+    n = int(sorted_totals.shape[0])
+    if n == 0:
+        return (16, 64)
+    b0 = (n * TIER_FRACS16[0]) // 16
+    b1 = (n * (TIER_FRACS16[0] + TIER_FRACS16[1])) // 16
+    q0 = int(sorted_totals[max(b0 - 1, 0)])
+    q1 = int(sorted_totals[max(b1 - 1, 0)])
+    w0 = min(max(pow2ceil(int(q0 * margin)), 16), events_per_read)
+    w1 = min(max(pow2ceil(int(q1 * margin)), w0), events_per_read)
+    return (w0, w1)
 
 
 def row_match_runs_tiered(
@@ -269,6 +315,7 @@ def row_match_runs_tiered(
     chain_fraction: float,
     candidate_capacity: int,
     num_transcripts: int = 0,
+    tier_widths: Tuple[int, int] = (16, 64),
 ) -> Tuple[MatchResult, jnp.ndarray]:
     """Tiered expand+group: sort batch rows by their max per-k event
     count, then give each tier a window sized to its rank (tier_plan).
@@ -277,11 +324,17 @@ def row_match_runs_tiered(
     Returns (MatchResult with ROWS PERMUTED by ascending event count,
     perm) — callers that need original read order apply argsort(perm);
     the EM/assignment paths treat reads as an unordered bag and skip it.
+
+    stats carry "expand_dropped" per k (as the flat path does) plus
+    "expand_dropped_pretail": drops in any tier EXCEPT the full-budget
+    tail.  Pretail drops mean the calibrated widths under-covered this
+    dataset — the caller falls back to the flat window for exactness;
+    tail drops would occur identically under a flat window.
     """
     B = starts[0].shape[0]
     K = num_k
     C = candidate_capacity
-    plan = tier_plan(B, events_per_read)
+    plan = tier_plan(B, events_per_read, tier_widths)
 
     if len(plan) == 1:
         parts, drops = [], []
@@ -304,6 +357,7 @@ def row_match_runs_tiered(
             num_transcripts=num_transcripts,
         )
         result.stats["expand_dropped"] = jnp.stack(drops)
+        result.stats["expand_dropped_pretail"] = jnp.zeros((), jnp.int32)
         return result, jnp.arange(B, dtype=jnp.int32)
 
     totals = [jnp.sum(l, axis=1) for l in lens]
@@ -316,9 +370,10 @@ def row_match_runs_tiered(
 
     tid_parts, score_parts, mask_parts = [], [], []
     drops = [jnp.zeros((), jnp.int32) for _ in range(K)]
+    pretail = jnp.zeros((), jnp.int32)
     spilled = jnp.zeros((), jnp.int32)
     row0 = 0
-    for rows, w in plan:
+    for t_i, (rows, w) in enumerate(plan):
         parts = []
         for ki in range(K):
             s_t = jax.lax.slice_in_dim(starts_p[ki], row0, row0 + rows, axis=0)
@@ -328,6 +383,8 @@ def row_match_runs_tiered(
             )
             parts.append(key)
             drops[ki] = drops[ki] + d
+            if t_i < len(plan) - 1:
+                pretail = pretail + d
         res = row_events_to_candidates(
             jnp.concatenate(parts, axis=1) if K > 1 else parts[0],
             num_k=K,
@@ -354,6 +411,7 @@ def row_match_runs_tiered(
         stats={
             "candidate_spilled": spilled,
             "expand_dropped": jnp.stack(drops),
+            "expand_dropped_pretail": pretail,
         },
     )
     return result, perm

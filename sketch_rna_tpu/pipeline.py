@@ -35,11 +35,15 @@ from sketch_rna_tpu.index.artifact import IndexArtifact
 from sketch_rna_tpu.io.packing import PackedReads
 from sketch_rna_tpu.match.bucket_lookup import bucket_lookup, build_bucket_table
 from sketch_rna_tpu.match.rowmatch import (
+    calibrate_tier_widths,
     row_events_to_candidates,
     row_expand_from_runs,
     row_match_runs_tiered,
 )
-from sketch_rna_tpu.em.classes import group_candidate_rows
+from sketch_rna_tpu.em.classes import (
+    build_class_tables,
+    group_candidate_rows_meta,
+)
 from sketch_rna_tpu.hash.pallas_hash import sketch_batch_pallas
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
 
@@ -104,6 +108,85 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
     return result
 
 
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kmer_lengths",
+        "sketch_fraction",
+        "sketch_caps",
+        "bucket_meta",
+        "use_pallas_sketch",
+    ),
+)
+def _event_totals_sorted(
+    codes,
+    lengths,
+    index_packed,
+    *,
+    kmer_lengths,
+    sketch_fraction,
+    sketch_caps,
+    bucket_meta,
+    use_pallas_sketch=False,
+):
+    """Per-read max-per-k posting-event totals, ascending — the tier
+    width calibration sample (sketch + probe only, no expansion)."""
+    _sketch = sketch_batch_pallas if use_pallas_sketch else sketch_batch
+    tk = None
+    for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
+        h, m, _ = _sketch(codes, lengths, k, sketch_fraction, cap)
+        shift, mb = bucket_meta[ki]
+        _start, length = bucket_lookup(h, m, index_packed[ki], shift=shift, mb=mb)
+        t = jnp.sum(length, axis=1)
+        tk = t if tk is None else jnp.maximum(tk, t)
+    return jnp.sort(tk)
+
+
+def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
+    """Calibrated (small, medium) tier windows for this dataset.
+
+    Samples the first batch's event totals and sizes the tier windows to
+    its rank quantiles with margin (rowmatch.calibrate_tier_widths), so
+    pretail spills are rare; any that still occur trigger the callers'
+    exact flat-window fallback.  Cached per (packed, index, L) — repeat
+    quantify calls (multi-sample, warm-up+timed benches) skip the probe.
+    """
+    default = (16, 64)
+    if not config.match_tiers or config.batch_size < 1024:
+        return default
+    n = min(config.batch_size, packed.num_reads)
+    if n < 1024:
+        return default
+    ck = (id(index), L, tuple(ks), config.expand_per_read, config.batch_size)
+    cache = getattr(packed, "_tier_width_cache", None)
+    if cache is not None and ck in cache:
+        return cache[ck]
+    codes = jnp.asarray(packed.codes[: config.batch_size, :L])
+    lengths = jnp.asarray(packed.lengths[: config.batch_size], jnp.int32)
+    st = np.asarray(
+        _event_totals_sorted(
+            codes,
+            lengths,
+            bpacked,
+            kmer_lengths=ks,
+            sketch_fraction=config.sketch_fraction,
+            sketch_caps=caps,
+            bucket_meta=bucket_meta,
+            use_pallas_sketch=config.use_pallas_sketch,
+        )
+    )
+    widths = calibrate_tier_widths(st, config.batch_size, config.expand_per_read)
+    if cache is None:
+        cache = {}
+        object.__setattr__(packed, "_tier_width_cache", cache)
+    cache[ck] = widths
+    log.info("calibrated tier widths %s (sample q75=%d q94=%d)", widths,
+             st[(len(st) * 12) // 16 - 1], st[(len(st) * 15) // 16 - 1])
+    return widths
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -118,6 +201,7 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
         "num_transcripts",
         "match_tiers",
         "restore_order",
+        "tier_widths",
     ),
 )
 def sketch_match_step(
@@ -137,6 +221,7 @@ def sketch_match_step(
     num_transcripts: int = 0,
     match_tiers: bool = True,
     restore_order: bool = False,
+    tier_widths: Tuple[int, int] = (16, 64),
 ):
     """One device batch: per-k sketching + candidate matching.
 
@@ -173,6 +258,7 @@ def sketch_match_step(
             chain_fraction=chain_fraction,
             candidate_capacity=candidate_capacity,
             num_transcripts=num_transcripts,
+            tier_widths=tier_widths,
         )
         tid, score, mask = result.tid, result.score, result.mask
         if restore_order:
@@ -204,6 +290,7 @@ def sketch_match_step(
         tid, score, mask = result.tid, result.score, result.mask
         stats = dict(result.stats)
         stats["expand_dropped"] = jnp.stack(drops)
+        stats["expand_dropped_pretail"] = jnp.zeros((), jnp.int32)
     stats["sketch_overflow"] = jnp.stack(overflows)
     return tid, score, mask, stats
 
@@ -221,6 +308,7 @@ def sketch_match_step(
         "use_pallas_sketch",
         "num_transcripts",
         "match_tiers",
+        "tier_widths",
     ),
 )
 def match_scan(
@@ -239,6 +327,7 @@ def match_scan(
     use_pallas_sketch: bool = False,
     num_transcripts: int = 0,
     match_tiers: bool = True,
+    tier_widths: Tuple[int, int] = (16, 64),
 ):
     """Sketch + match over all batches in ONE device program (lax.scan)
     — no host roundtrips between batches.  Returns stacked candidate
@@ -265,8 +354,9 @@ def match_scan(
             use_pallas_sketch=use_pallas_sketch,
             num_transcripts=num_transcripts,
             match_tiers=match_tiers,
+            tier_widths=tier_widths,
         )
-        dropped, spilled, sk_ov, ncm = carry
+        dropped, spilled, sk_ov, ncm, pretail = carry
         n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
         # jnp.sum promotes ints to the default int width (int64 under
         # x64); pin the carry to int32 either way.
@@ -275,6 +365,7 @@ def match_scan(
             spilled + stats["candidate_spilled"].astype(jnp.int32),
             sk_ov + stats["sketch_overflow"].astype(jnp.int32),
             jnp.maximum(ncm, n_cand).astype(jnp.int32),
+            pretail + stats["expand_dropped_pretail"].astype(jnp.int32),
         )
         return carry, (tid, jnp.where(mask, score, 0))
 
@@ -283,8 +374,9 @@ def match_scan(
         jnp.zeros((), jnp.int32),
         jnp.zeros(K, jnp.int32),
         jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
     )
-    (dropped, spilled, sk_ov, n_cand_max), (tids, scores) = jax.lax.scan(
+    (dropped, spilled, sk_ov, n_cand_max, pretail), (tids, scores) = jax.lax.scan(
         body, zero, (codes_all, lengths_all)
     )
     nb, B, C = tids.shape
@@ -293,6 +385,7 @@ def match_scan(
         "expand_dropped": dropped,
         "candidate_spilled": spilled,
         "sketch_overflow": sk_ov,
+        "expand_dropped_pretail": pretail,
     }
     return tids.reshape(N, C), scores.reshape(N, C), n_cand_max, stats
 
@@ -353,6 +446,9 @@ def collect_pairs(
     p_score: List[np.ndarray] = []
     stats = {"expand_dropped": 0, "candidate_spilled": 0, "sketch_overflow": 0}
     B = config.batch_size
+    widths = _tier_widths_for(
+        index, packed, config, bpacked, bucket_meta, caps, ks, packed.padded_len
+    )
     # Dispatch all device batches first (JAX dispatch is async), then sync
     # results — overlaps device compute with host-side pair collection.
     pending = []
@@ -371,8 +467,24 @@ def collect_pairs(
             bucket_meta=bucket_meta,
             match_tiers=config.match_tiers,
             restore_order=True,
+            tier_widths=widths,
         )
         pending.append((out, row0))
+    if config.match_tiers:
+        pretail = int(
+            np.asarray(
+                jnp.stack(
+                    [s["expand_dropped_pretail"] for (_, _, _, s), _ in pending]
+                )
+            ).sum()
+        )
+        if pretail > 0:
+            log.warning(
+                "tiered match dropped %d pretail events; rerunning flat", pretail
+            )
+            return collect_pairs(
+                index, packed, dataclasses.replace(config, match_tiers=False)
+            )
     for (tid, score, mask, s), row0 in pending:
         tid = np.asarray(tid)
         score = np.asarray(score)
@@ -396,96 +508,6 @@ def collect_pairs(
         if v:
             log.warning("capacity overflow during matching: %s=%d", key, v)
     return pr, pt, ps, stats
-
-
-def collect_tables(
-    index: IndexArtifact,
-    packed: PackedReads,
-    config: QuantConfig,
-):
-    """Streaming sketch+match with candidate tables kept ON DEVICE.
-
-    For datasets beyond the fused path's HBM budget: each batch's
-    [B, C] table is narrowed to its own max candidate count (lossless;
-    tables are rank-ordered) and retained on device; only one scalar
-    (the batch's candidate-width) syncs to the host per batch.  Returns
-    (tbl_tid [N, W], tbl_score [N, W], stats) with N = nb*B padded rows.
-    """
-    ks = tuple(index.kmer_lengths)
-    caps = tuple(config.sketch_capacity_for(k) for k in ks)
-    bpacked, postings, bucket_meta = _device_index(index, ks)
-    bpacked = tuple(jnp.asarray(a) for a in bpacked)
-    postings = tuple(jnp.asarray(a) for a in postings)
-
-    B = config.batch_size
-    pending = []
-    for codes, lengths, row0 in packed.batches(B):
-        out = sketch_match_step(
-            jnp.asarray(codes),
-            jnp.asarray(lengths),
-            bpacked,
-            postings,
-            kmer_lengths=ks,
-            sketch_fraction=config.sketch_fraction,
-            sketch_caps=caps,
-            chain_fraction=config.chain_fraction,
-            expand_per_read=config.expand_per_read,
-            candidate_capacity=config.candidate_capacity,
-            bucket_meta=bucket_meta,
-            use_pallas_sketch=config.use_pallas_sketch,
-            num_transcripts=index.num_transcripts,
-            match_tiers=config.match_tiers,
-        )
-        pending.append(out)
-
-    stats = {"expand_dropped": 0, "candidate_spilled": 0, "sketch_overflow": 0}
-    # One host sync for ALL per-batch scalars (per-batch round-trips cost
-    # ~100 ms each through tunneled backends).
-    nc_all = np.asarray(
-        jnp.stack(
-            [jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1)) for _, _, mask, _ in pending]
-        )
-    )
-    stat_sums = np.asarray(
-        jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        jnp.sum(s["expand_dropped"]),
-                        jnp.sum(s["candidate_spilled"]),
-                        jnp.sum(s["sketch_overflow"]),
-                    ]
-                )
-                for _, _, _, s in pending
-            ]
-        )
-    )
-    stats["expand_dropped"] = int(stat_sums[:, 0].sum())
-    stats["candidate_spilled"] = int(stat_sums[:, 1].sum())
-    stats["sketch_overflow"] = int(stat_sums[:, 2].sum())
-    slices = []
-    w_max = 1
-    for (tid, score, mask, s), n_cand in zip(pending, nc_all.tolist()):
-        w = 1 << max(int(n_cand) - 1, 0).bit_length() if n_cand > 1 else 1
-        w = min(max(w, 1), config.candidate_capacity)
-        w_max = max(w_max, w)
-        slices.append(
-            (
-                jax.lax.slice_in_dim(tid, 0, w, axis=1),
-                jax.lax.slice_in_dim(jnp.where(mask, score, 0), 0, w, axis=1),
-            )
-        )
-
-    tbl_tid = jnp.concatenate(
-        [jnp.pad(t, ((0, 0), (0, w_max - t.shape[1]))) for t, _ in slices]
-    )
-    tbl_score = jnp.concatenate(
-        [jnp.pad(sc, ((0, 0), (0, w_max - sc.shape[1]))) for _, sc in slices]
-    )
-    for key, v in stats.items():
-        if v:
-            log.warning("capacity overflow during matching: %s=%d", key, v)
-    return tbl_tid, tbl_score, stats
 
 
 def _pad_pairs(pr, pt, ps, read_capacity: int, multiple: int = 1024):
@@ -547,51 +569,24 @@ def quantify(
         result.timing = {**result.timing, **timer.report()}
         return result
 
+    # Beyond the fused HBM budget: stream through the fixed class buffer
+    # (stream.quantify_streamed) — O(buffer) device memory at any R.
+    from sketch_rna_tpu.stream import quantify_streamed
 
-    with timer.phase("sketch_match", items=R):
-        tbl_tid, tbl_score, stats = collect_tables(index, packed, config)
-
-    tables = _em_tables(tbl_tid, tbl_score, config)
-
-    with timer.phase("em", items=config.em_max_iterations):
-        pi, iters = run_em_partitioned(
-            tables,
-            jnp.asarray(R, dtype=jnp.int32),
-            num_transcripts=T,
-            max_iterations=config.em_max_iterations,
-            convergence_threshold=config.em_convergence,
-            pseudocount=config.pseudocount,
-            epsilon=config.em_epsilon,
-            dtype=config.em_dtype,
-        )
-        jax.block_until_ready(pi)
-    with timer.phase("assignment"):
-        weighted, has_entry = assign_reads_partitioned(
-            tables,
-            pi,
-            num_transcripts=T,
-            dtype=config.em_dtype,
-        )
-        jax.block_until_ready(weighted)
-    return QuantResult(
-        names=list(index.names),
-        pi=np.asarray(pi),
-        weighted_counts=np.asarray(weighted),
-        has_entry=np.asarray(has_entry),
-        em_iterations=int(iters),
-        num_reads=R,
-        stats=stats,
-        timing=timer.report(),
-        lengths=np.asarray(index.lengths),
-    )
+    with maybe_trace("quant_streamed"):
+        return quantify_streamed(index, packed, config)
 
 
 # Classes narrower than this many candidates go to the "narrow" EM table.
 _EM_NARROW_WIDTH = 8
 
 
-def _em_tables(tbl_tid, tbl_score, config: QuantConfig):
-    """Prepare the EM working set: equivalence classes (optional) plus a
+def _pow2ceil(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length() if n > 1 else 1
+
+
+def _em_tables(tbl_tid, tbl_score, config: QuantConfig, row_weight=None):
+    """Prepare the EM working set: equivalence classes (default) plus a
     narrow/wide width partition.
 
     Most classes have a handful of candidates while the table width W is
@@ -600,8 +595,54 @@ def _em_tables(tbl_tid, tbl_score, config: QuantConfig):
     lanes near the true pair count.  Exact: every class carries weight in
     exactly one partition (weight 0 rows are inert), and narrow rows
     truncate only all-zero lanes (class rows are rank-ordered).
+
+    The class path runs as two device programs with ONE host sync
+    between them (em/classes.py two-phase API): metadata (sort of [N]
+    row hashes) -> sync (n_classes, n_wide) -> class-table gather +
+    partition at static [M_pad]/[nw_pad] sizes.  No [N, W] gather or
+    scatter ever materializes.
     """
-    tid, score, weight = _maybe_classes(tbl_tid, tbl_score, config)
+    N, W = tbl_tid.shape
+    if config.em_equivalence_classes and N >= 1024:
+        # Pad rows to a power of two so the grouping program's shape
+        # family stays small (padding rows join the all-zero class and
+        # its weight is inert in EM and assignment).
+        N_pad = 1 << (N - 1).bit_length()
+        if N_pad > N:
+            tbl_tid = jnp.pad(tbl_tid, ((0, N_pad - N), (0, 0)))
+            tbl_score = jnp.pad(tbl_score, ((0, N_pad - N), (0, 0)))
+            if row_weight is not None:
+                row_weight = jnp.pad(row_weight, (0, N_pad - N))
+        rep, weight, scalars = group_candidate_rows_meta(
+            tbl_tid, tbl_score, narrow_width=_EM_NARROW_WIDTH, row_weight=row_weight
+        )
+        sc = np.asarray(scalars)  # the one host sync
+        n_classes, n_wide = int(sc[0]), int(sc[1])
+        M_pad = min(max(_pow2ceil(n_classes), 1024), N_pad)
+        split = W > _EM_NARROW_WIDTH and n_wide > 0 and M_pad >= 1024
+        nw_pad = min(_pow2ceil(max(n_wide, 1)), M_pad) if split else 1
+        out_w = _EM_NARROW_WIDTH if (W > _EM_NARROW_WIDTH and n_wide == 0) else W
+        tables = build_class_tables(
+            tbl_tid,
+            tbl_score,
+            rep,
+            weight,
+            scalars[1],
+            m_pad=M_pad,
+            nw_pad=nw_pad,
+            narrow_width=_EM_NARROW_WIDTH,
+            split=split,
+            out_width=out_w,
+        )
+        log.info(
+            "equivalence classes: %d reads -> %d classes (%d wide)",
+            N,
+            n_classes,
+            n_wide,
+        )
+        return tables
+
+    tid, score, weight = tbl_tid, tbl_score, row_weight
     M, W = tid.shape
     if W <= _EM_NARROW_WIDTH or M < 1024:
         return ((tid, score, weight),)
@@ -637,40 +678,6 @@ def _em_tables(tbl_tid, tbl_score, config: QuantConfig):
     return (narrow, wide)
 
 
-def _maybe_classes(tbl_tid, tbl_score, config: QuantConfig):
-    """Optionally collapse identical candidate rows into weighted
-    equivalence classes (exact; em/classes.py), then narrow the class
-    table to a pow2 row count."""
-    if not config.em_equivalence_classes or tbl_tid.shape[0] < 1024:
-        return tbl_tid, tbl_score, None
-    # Pad rows to a power of two so the grouping program's shape family
-    # stays small across datasets (padding rows are all-zero and join
-    # the empty class; their weight contributes nothing since the zero
-    # profile is inert in EM and assignment).
-    N = tbl_tid.shape[0]
-    N_pad = 1 << (N - 1).bit_length()
-    if N_pad > N:
-        tbl_tid = jnp.pad(tbl_tid, ((0, N_pad - N), (0, 0)))
-        tbl_score = jnp.pad(tbl_score, ((0, N_pad - N), (0, 0)))
-    cls_tid, cls_score, weight, n_classes = group_candidate_rows(tbl_tid, tbl_score)
-    M = int(n_classes)
-    M_pad = 1 << max(M - 1, 0).bit_length()
-    M_pad = min(max(M_pad, 1024), tbl_tid.shape[0])
-    if M_pad < tbl_tid.shape[0]:
-        cls_tid = jax.lax.slice_in_dim(cls_tid, 0, M_pad, axis=0)
-        cls_score = jax.lax.slice_in_dim(cls_score, 0, M_pad, axis=0)
-        weight = jax.lax.slice_in_dim(weight, 0, M_pad, axis=0)
-    log.info("equivalence classes: %d reads -> %d classes", tbl_tid.shape[0], M)
-    return cls_tid, cls_score, weight
-
-
-def _pad_pow2_len(n: int) -> int:
-    p = 256
-    while p < n:
-        p <<= 1
-    return p
-
-
 def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig, timer):
     """Run the fused match scan, bucketing reads by power-of-two padded
     length.  Returns (tbl_tid [N,C], tbl_score, n_cand_max int, stats
@@ -683,7 +690,10 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
     R = packed.num_reads
 
     lengths_np = np.asarray(packed.lengths)
-    pads = np.array([_pad_pow2_len(int(l)) for l in lengths_np], dtype=np.int64)
+    pad_of = np.maximum(
+        256, 1 << np.ceil(np.log2(np.maximum(lengths_np, 1))).astype(np.int64)
+    )
+    pads = np.minimum(pad_of, max(int(packed.padded_len), 256))
     unique_pads = sorted(set(pads.tolist()))
 
     codes_dev = jnp.asarray(packed.codes)
@@ -709,24 +719,44 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
         codes_all = jnp.pad(codes_b, ((0, Nb - n_b), (0, 0))).reshape(nb_b, B, L)
         lengths_all = jnp.pad(lengths_b, (0, Nb - n_b)).reshape(nb_b, B)
         caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
-        t, s, nc, st = match_scan(
-            codes_all,
-            lengths_all,
-            bpacked,
-            postings,
-            kmer_lengths=ks,
-            sketch_fraction=config.sketch_fraction,
-            sketch_caps=caps,
-            chain_fraction=config.chain_fraction,
-            expand_per_read=config.expand_per_read,
-            candidate_capacity=config.candidate_capacity,
-            bucket_meta=bucket_meta,
-            use_pallas_sketch=config.use_pallas_sketch,
-            num_transcripts=index.num_transcripts,
-            match_tiers=config.match_tiers,
+        widths = _tier_widths_for(
+            index, packed, config, bpacked, bucket_meta, caps, ks, L
         )
+
+        def run_scan(tiers: bool):
+            return match_scan(
+                codes_all,
+                lengths_all,
+                bpacked,
+                postings,
+                kmer_lengths=ks,
+                sketch_fraction=config.sketch_fraction,
+                sketch_caps=caps,
+                chain_fraction=config.chain_fraction,
+                expand_per_read=config.expand_per_read,
+                candidate_capacity=config.candidate_capacity,
+                bucket_meta=bucket_meta,
+                use_pallas_sketch=config.use_pallas_sketch,
+                num_transcripts=index.num_transcripts,
+                match_tiers=tiers,
+                tier_widths=widths,
+            )
+
+        with timer.phase("match_scan", items=n_b):
+            t, s, nc, st = run_scan(config.match_tiers)
+            # One host sync for (max candidate width, pretail drops).
+            nc_pt = np.asarray(jnp.stack([nc, st["expand_dropped_pretail"]]))
+        if int(nc_pt[1]) > 0:
+            # Calibrated windows under-covered this dataset: rerun with the
+            # flat full-budget window — exactness over speed, never silent.
+            log.warning(
+                "tiered match dropped %d pretail events; rerunning flat",
+                int(nc_pt[1]),
+            )
+            t, s, nc, st = run_scan(False)
+            nc_pt = np.asarray(jnp.stack([nc, st["expand_dropped_pretail"]]))
         tbl_parts.append((t, s))
-        ncm = max(ncm, int(nc))
+        ncm = max(ncm, int(nc_pt[0]))
         stats_parts.append(st)
     if len(tbl_parts) == 1:
         tbl_tid, tbl_score = tbl_parts[0]
@@ -747,7 +777,7 @@ def _quantify_fused(
 
     timer = PhaseTimer()
     tbl_tid, tbl_score, n_cand_max, stats = _match_tables(index, packed, config, timer)
-    with timer.phase("match_scan", items=packed.num_reads):
+    with timer.phase("match_concat"):
         jax.block_until_ready(tbl_tid)
     # Tables are rank-ordered per read, so narrowing to the max per-read
     # candidate count is lossless and shrinks the EM working set (the
@@ -781,17 +811,22 @@ def _quantify_fused(
             num_transcripts=index.num_transcripts,
             dtype=config.em_dtype,
         )
-    jax.block_until_ready(weighted)
-    host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
+        jax.block_until_ready(weighted)
+    with timer.phase("fetch"):
+        pi = np.asarray(pi)
+        weighted = np.asarray(weighted)
+        has_entry = np.asarray(has_entry)
+        iters = int(iters)
+        host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
     for key, v in host_stats.items():
         if v:
             log.warning("capacity overflow during matching: %s=%d", key, v)
     return QuantResult(
         names=list(index.names),
-        pi=np.asarray(pi),
-        weighted_counts=np.asarray(weighted),
-        has_entry=np.asarray(has_entry),
-        em_iterations=int(iters),
+        pi=pi,
+        weighted_counts=weighted,
+        has_entry=has_entry,
+        em_iterations=iters,
         num_reads=packed.num_reads,
         stats=host_stats,
         timing=timer.report(),

@@ -36,3 +36,42 @@ def test_fused_equals_streaming(monkeypatch):
     )
     np.testing.assert_array_equal(fused.has_entry, streaming.has_entry)
     assert fused.em_iterations == streaming.em_iterations
+
+
+def test_streamed_compaction_exact(monkeypatch):
+    """Tiny class buffer forces in-scan compaction every few batches;
+    results must still match the fused path exactly (class reduction is
+    an exact transformation)."""
+    import dataclasses
+
+    rng = np.random.default_rng(99)
+    seqs = make_transcriptome(rng, n=10, len_range=(80, 400))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(
+        kmer_lengths=(31,),
+        batch_size=64,
+        max_read_len=128,
+        em_dtype="float64",
+        stream_class_capacity=128,  # max(128, 2*B) -> compact constantly
+        stream_chunk_reads=192,  # several host super-chunks too
+    )
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=600, read_len=90) if r.size >= 31]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    fused = pl.quantify(idx, packed, cfg)
+    monkeypatch.setattr(pl, "FUSED_MAX_PADDED_READS", 0)
+    streamed = pl.quantify(idx, packed, cfg)
+    assert streamed.stats.get("class_overflow", 0) == 0
+    np.testing.assert_allclose(fused.pi, streamed.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        fused.weighted_counts, streamed.weighted_counts, rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_array_equal(fused.has_entry, streamed.has_entry)
+    assert fused.em_iterations == streamed.em_iterations
+    assert fused.num_reads == streamed.num_reads

@@ -21,14 +21,17 @@ from sketch_rna_tpu.utils.synth import synth_transcriptome
 def test_tier_plan_covers_batch():
     for B in (1024, 2048, 8192, 1536):
         for epr in (64, 128, 256, 512):
-            plan = tier_plan(B, epr)
-            assert sum(rows for rows, _ in plan) == B
-            widths = [w for _, w in plan]
-            assert widths[-1] == epr  # tail always gets the full budget
-            assert widths == sorted(widths)
-    # Small batches and small budgets stay flat.
+            for tw in ((16, 64), (32, 32), (64, 256), (256, 256)):
+                plan = tier_plan(B, epr, tw)
+                assert sum(rows for rows, _ in plan) == B
+                widths = [w for _, w in plan]
+                assert widths[-1] == epr  # tail always gets the full budget
+                assert widths == sorted(widths)
+                assert len(set(widths)) == len(widths)  # merged duplicates
+    # Small batches stay flat.
     assert tier_plan(512, 256) == ((512, 256),)
-    assert tier_plan(8192, 32) == ((8192, 32),)
+    # Calibrated widths at/above the budget collapse to one flat tier.
+    assert tier_plan(8192, 32, (32, 64)) == ((8192, 32),)
 
 
 @pytest.fixture(scope="module")
