@@ -78,6 +78,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-format", choices=["npz", "refbin"], default="npz",
                    help="index mode output format: npz artifact (default) or "
                    "the reference binary layout (interoperable with the C++ tool)")
+    # Multi-host execution (jax.distributed). Each process parses only its
+    # byte-range slice of the FASTQ; implies --sharded.
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (multi-host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--em-checkpoint", default=None, metavar="PATH",
+                   help="periodically checkpoint EM state to PATH and resume "
+                   "from it if present (single-device quant)")
     return p
 
 
@@ -165,6 +174,28 @@ def _load_reads(reads_path: str, idx, config: QuantConfig, use_native: bool):
     return packed
 
 
+def _load_reads_slice(reads_path: str, idx, config: QuantConfig):
+    """Parse + pack THIS process's byte-range slice of the FASTQ
+    (multi-host data parallelism, SURVEY.md §7.2 step 6)."""
+    import jax
+
+    from sketch_rna_tpu.io.fastq import byte_range_for_process, load_fastq_dict_range
+    from sketch_rna_tpu.io.packing import pack_reads
+
+    max_k = max(idx.kmer_lengths)
+    start, end = byte_range_for_process(
+        reads_path, jax.process_index(), jax.process_count()
+    )
+    reads = load_fastq_dict_range(reads_path, start, end, min_len=max_k)
+    longest = max((len(s) for s in reads.values()), default=0)
+    pad_len = max(config.max_read_len, ((longest + 127) // 128) * 128)
+    packed, _, n_too_long = pack_reads(
+        list(reads.values()), list(reads.keys()), min_len=max_k, pad_len=pad_len
+    )
+    assert n_too_long == 0
+    return packed
+
+
 def run_quant(
     index_path: str,
     reads_path: str,
@@ -179,9 +210,15 @@ def run_quant(
     from sketch_rna_tpu.io.packing import pack_reads
     from sketch_rna_tpu.pipeline import quantify, write_csv
 
+    import jax
+
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+
     # Accepts both our .npz artifact and the reference's binary format.
     idx = load_any_index(index_path)
-    print("Loading index completed")
+    if primary:
+        print("Loading index completed")
     # Quirk Q1: the index's k-mer lengths win over CLI -k.
     config = dataclasses.replace(config, kmer_lengths=tuple(idx.kmer_lengths))
 
@@ -206,20 +243,25 @@ def run_quant(
             print(f"Output written to {out}")
         return
 
-    packed = _load_reads(reads_path, idx, config, use_native)
-    print("Loading read completed")
+    if multiproc:
+        packed = _load_reads_slice(reads_path, idx, config)
+    else:
+        packed = _load_reads(reads_path, idx, config, use_native)
+    if primary:
+        print("Loading read completed")
 
-    if sharded:
+    if sharded or multiproc:
         from sketch_rna_tpu.pipeline import quantify_sharded
 
         result = quantify_sharded(idx, packed, config)
     else:
         result = quantify(idx, packed, config)
-    print("Sparse chaining completed")
-    print("EM estimation completed")
-    print("Read assignment completed")
-    write_csv(output_path, result, with_tpm=with_tpm)
-    print(f"Output written to {output_path}")
+    if primary:
+        print("Sparse chaining completed")
+        print("EM estimation completed")
+        print("Read assignment completed")
+        write_csv(output_path, result, with_tpm=with_tpm)
+        print(f"Output written to {output_path}")
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -238,6 +280,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         except RuntimeError:
             pass  # backends already initialized; keep whatever is live
     args = build_parser().parse_args(argv)
+    if args.coordinator is not None:
+        from sketch_rna_tpu.dist.init import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
     if args.mode == "index":
         if len(args.positional) < 2:
             print("Usage: sketch-rna-tpu index <reference_genome.fasta> <index_output>", file=sys.stderr)

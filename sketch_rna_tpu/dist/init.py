@@ -38,6 +38,12 @@ def init_distributed(
     if not explicit and not cluster_env:
         return False
     try:
+        # Cross-process collectives on the CPU backend need gloo (the
+        # default "none" fails at the first psum); harmless elsewhere.
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -22,12 +22,21 @@ from jax.sharding import Mesh
 
 
 def mesh_factor(n_devices: int, max_index_shards: int = 2) -> Tuple[int, int]:
-    """Split n devices into (data, index) axis sizes.  Data parallelism
-    dominates (reads are the big dimension); index sharding engages only
-    when there are enough devices to spare."""
+    """Split n devices into (data, index) axis sizes.
+
+    Data parallelism dominates (reads are the big dimension); the index
+    axis doubles only while it stays <= max_index_shards, divides the
+    device count, and leaves the data axis at least as large — so e.g.
+    16 devices with max_index_shards=4 give (4, 4), and small meshes
+    stay data-only.  Pass an explicit mesh (make_mesh) for other
+    splits; any (dp, ip) factorization works (tested through (2, 4))."""
     index = 1
-    if n_devices >= 4 and n_devices % 2 == 0:
-        index = min(max_index_shards, 2)
+    while (
+        index * 2 <= max_index_shards
+        and n_devices % (index * 2) == 0
+        and n_devices // (index * 2) >= index * 2
+    ):
+        index *= 2
     return n_devices // index, index
 
 

@@ -68,7 +68,11 @@ def save_index(path: str, idx: IndexArtifact) -> None:
         arrays[f"k{k}_keys"] = ki.keys.astype(np.uint32)
         arrays[f"k{k}_row_ptr"] = ki.row_ptr.astype(np.int32)
         arrays[f"k{k}_postings"] = ki.postings.astype(np.int32)
-    np.savez_compressed(path, **arrays)
+    # np.savez appends ".npz" when absent, which would save to a path the
+    # caller never sees ("s.idx" -> "s.idx.npz" + FileNotFound on load);
+    # write through a file object so the exact name is honored.
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
 
 
 def load_index(path: str) -> IndexArtifact:

@@ -854,6 +854,13 @@ def quantify_sharded(
     from sketch_rna_tpu.index.shard import shard_index_arrays
 
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
+    if jax.process_count() > 1:
+        # Multi-host: `packed` is THIS process's read slice; the
+        # multihost wrapper builds the global arrays and runs the same
+        # shard_map step SPMD across processes.
+        from sketch_rna_tpu.dist.multihost import quantify_sharded_multihost
+
+        return quantify_sharded_multihost(index, packed, config, mesh)
     if packed.num_reads == 0:
         # Same clean empty result as quantify() — without this, padding
         # to B=0 rows runs EM with pc/0 = inf pi (ADVICE r1).

@@ -101,3 +101,30 @@ def test_pack_reads_batches():
     assert c.shape == (2, 48)
     assert l[1] == 0  # padded row
     assert off == 4
+
+
+def test_fastq_byte_ranges_cover_exactly(tmp_path):
+    # Union of disjoint byte ranges == full sequential parse, each record
+    # exactly once — including quality lines that start with '@'.
+    from sketch_rna_tpu.io.fastq import (
+        byte_range_for_process,
+        iter_fastq_records_range,
+    )
+
+    rng = np.random.default_rng(123)
+    p = tmp_path / "big.fq"
+    recs = []
+    with open(p, "w") as fh:
+        for i in range(200):
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=40))
+            qual = "@" + "I" * 39 if i % 3 == 0 else "I" * 40  # '@'-leading quality
+            fh.write(f"@r{i} d\n{seq}\n+\n{qual}\n")
+            recs.append((f"r{i} d", seq, qual))
+    full = list(iter_fastq_records(str(p)))
+    assert full == recs
+    for nproc in (2, 3, 5):
+        got = []
+        for pi in range(nproc):
+            a, b = byte_range_for_process(str(p), pi, nproc)
+            got.extend(iter_fastq_records_range(str(p), a, b))
+        assert got == recs, nproc

@@ -45,9 +45,15 @@ def test_mesh_factor():
     assert mesh_factor(8) == (4, 2)
     assert mesh_factor(2) == (2, 1)
     assert mesh_factor(1) == (1, 1)
+    # Generalized index axis: grows while it divides the device count,
+    # stays under the cap, and data parallelism still dominates.
+    assert mesh_factor(16, max_index_shards=4) == (4, 4)
+    assert mesh_factor(8, max_index_shards=4) == (4, 2)
+    assert mesh_factor(32, max_index_shards=8) == (8, 4)
+    assert mesh_factor(6, max_index_shards=4) == (3, 2)
 
 
-@pytest.mark.parametrize("shape", [(4, 2), (8, 1), (2, 2)])
+@pytest.mark.parametrize("shape", [(4, 2), (8, 1), (2, 2), (2, 4), (1, 8)])
 def test_sharded_matches_single_device(problem, shape):
     cfg, idx, packed = problem
     dp, ip = shape
