@@ -112,6 +112,7 @@ def _config_from_args(args, kmer_lengths) -> QuantConfig:
         candidate_capacity=args.candidate_capacity,
         expand_per_read=args.expand_per_read,
         em_dtype=em_dtype,
+        em_checkpoint=args.em_checkpoint,
     )
 
 
@@ -148,11 +149,10 @@ def _load_reads(reads_path: str, idx, config: QuantConfig, use_native: bool):
     from sketch_rna_tpu.io.packing import pack_reads
 
     max_k = max(idx.kmer_lengths)
-    with open(reads_path, "rb") as probe:
-        is_gzip = probe.read(2) == b"\x1f\x8b"
-    if use_native and not is_gzip:
+    if use_native:
         from sketch_rna_tpu.io import native
 
+        # The native parser inflates gzip itself (zlib in fastio.cpp).
         if native.native_available():
             packed, stats = native.pack_fastq_native(reads_path, min_len=max_k)
             longest = stats["max_len"]

@@ -68,6 +68,12 @@ class QuantConfig:
     # per host->device super-chunk.
     stream_class_capacity: int = 1 << 17
     stream_chunk_reads: int = 1 << 20
+    # Mid-run EM checkpointing: save (pi, iteration) to this path every
+    # em_checkpoint_every iterations and resume from it when present.
+    # The reference's only persisted artifact is the index (SURVEY.md §5
+    # "Checkpoint / resume"); this adds the missing mid-run state.
+    em_checkpoint: Optional[str] = None
+    em_checkpoint_every: int = 5
 
     def sketch_capacity_for(self, k: int, read_len: Optional[int] = None) -> int:
         """Auto-size sketch capacity from the padded read length (or an

@@ -223,7 +223,9 @@ def run_em_partitioned(
     epsilon: float = 1e-10,
     dtype: str = "float32",
     axis_name: Optional[str] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    init_pi: Optional[jnp.ndarray] = None,
+    start_iteration: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """EM over several width-partitioned class tables at once.
 
     Same math as run_em_tables: each table row is an independent read /
@@ -231,6 +233,12 @@ def run_em_partitioned(
     [T] vector per iteration.  Splitting classes into narrow and wide
     tables keeps the scatter lane count near the true pair count instead
     of num_rows x max_width.
+
+    init_pi/start_iteration resume from an EM checkpoint; the returned
+    (pi, iterations, converged) triple lets segmented runs (periodic
+    checkpointing) continue EXACTLY where an uninterrupted loop would —
+    `converged` distinguishes an early L1 stop from hitting the
+    iteration bound, so a resumed segment never runs an extra step.
     """
     T = num_transcripts
     dt = jnp.dtype(dtype)
@@ -240,7 +248,11 @@ def run_em_partitioned(
         wgt = None if weight is None else weight.astype(dt)[:, None]
         prepped.append((tid, sc, wgt))
 
-    pi0 = jnp.full(T, 1.0 / T, dtype=dt)
+    pi0 = (
+        jnp.full(T, 1.0 / T, dtype=dt)
+        if init_pi is None
+        else jnp.asarray(init_pi, dtype=dt)
+    )
     pcf = jnp.float32(pseudocount)
     # Reference addition order: (posterior_sum + pc/R) + pc, left-to-right.
     term_div = (pcf / num_reads.astype(jnp.float32)).astype(dt)
@@ -270,8 +282,10 @@ def run_em_partitioned(
         change = jnp.sum(jnp.abs(new_pi - pi))
         return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
 
-    pi, iters, _ = jax.lax.while_loop(cond, body, (pi0, jnp.int32(0), jnp.bool_(False)))
-    return pi, iters
+    pi, iters, done = jax.lax.while_loop(
+        cond, body, (pi0, jnp.int32(start_iteration), jnp.bool_(False))
+    )
+    return pi, iters, done
 
 
 @partial(jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name"))

@@ -770,6 +770,66 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
     return tbl_tid, tbl_score, ncm, stats
 
 
+def _run_em(tables, num_reads: int, num_transcripts: int, config: QuantConfig):
+    """Run the partitioned EM, with optional mid-run checkpoint/resume.
+
+    With config.em_checkpoint set, the iteration budget is split into
+    segments of em_checkpoint_every; state saves after each segment and
+    a fresh call resumes from the saved (pi, iteration).  Segmenting is
+    exact: the loop re-enters with the same pi/iteration it would have
+    had uninterrupted, and the returned `converged` flag stops a
+    resumed run from ever taking an extra E-step.
+    """
+    kw = dict(
+        num_transcripts=num_transcripts,
+        convergence_threshold=config.em_convergence,
+        pseudocount=config.pseudocount,
+        epsilon=config.em_epsilon,
+        dtype=config.em_dtype,
+    )
+    R_dev = jnp.asarray(num_reads, jnp.int32)
+    if not config.em_checkpoint:
+        pi, iters, _ = run_em_partitioned(
+            tables, R_dev, max_iterations=config.em_max_iterations, **kw
+        )
+        return pi, int(iters)
+
+    import os
+
+    from sketch_rna_tpu.em.checkpoint import (
+        EMState,
+        check_resumable,
+        fingerprint_of,
+        load_em_state,
+        save_em_state,
+    )
+
+    path = config.em_checkpoint
+    fp = fingerprint_of(num_transcripts, num_reads, config)
+    pi, it = None, 0
+    if os.path.exists(path):
+        st = load_em_state(path)
+        check_resumable(st, fp)
+        pi, it = st.pi, st.iterations_done
+        log.info("resuming EM from %s at iteration %d", path, it)
+    every = max(config.em_checkpoint_every, 1)
+    while it < config.em_max_iterations:
+        bound = min(it + every, config.em_max_iterations)
+        pi, iters, done = run_em_partitioned(
+            tables,
+            R_dev,
+            max_iterations=bound,
+            init_pi=pi,
+            start_iteration=it,
+            **kw,
+        )
+        it = int(iters)
+        save_em_state(path, EMState(np.asarray(pi), it, num_reads, fp))
+        if bool(done):
+            break
+    return pi, it
+
+
 def _quantify_fused(
     index: IndexArtifact, packed: PackedReads, config: QuantConfig, nb: int
 ) -> QuantResult:
@@ -793,15 +853,8 @@ def _quantify_fused(
         jax.block_until_ready(tables[0][0])
 
     with timer.phase("em"):
-        pi, iters = run_em_partitioned(
-            tables,
-            jnp.asarray(packed.num_reads, jnp.int32),
-            num_transcripts=index.num_transcripts,
-            max_iterations=config.em_max_iterations,
-            convergence_threshold=config.em_convergence,
-            pseudocount=config.pseudocount,
-            epsilon=config.em_epsilon,
-            dtype=config.em_dtype,
+        pi, iters = _run_em(
+            tables, packed.num_reads, index.num_transcripts, config
         )
         jax.block_until_ready(pi)
     with timer.phase("assignment"):
@@ -816,7 +869,6 @@ def _quantify_fused(
         pi = np.asarray(pi)
         weighted = np.asarray(weighted)
         has_entry = np.asarray(has_entry)
-        iters = int(iters)
         host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
     for key, v in host_stats.items():
         if v:
@@ -826,7 +878,7 @@ def _quantify_fused(
         pi=pi,
         weighted_counts=weighted,
         has_entry=has_entry,
-        em_iterations=iters,
+        em_iterations=int(iters),
         num_reads=packed.num_reads,
         stats=host_stats,
         timing=timer.report(),

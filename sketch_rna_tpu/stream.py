@@ -219,9 +219,10 @@ def quantify_streamed(
         _device_index,
         _em_tables,
         _empty_result,
+        _run_em,
         _tier_widths_for,
     )
-    from sketch_rna_tpu.em.em import assign_reads_partitioned, run_em_partitioned
+    from sketch_rna_tpu.em.em import assign_reads_partitioned
     from sketch_rna_tpu.utils.timing import PhaseTimer
 
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
@@ -313,16 +314,7 @@ def quantify_streamed(
         jax.block_until_ready(tables[0][0])
 
     with timer.phase("em"):
-        pi, iters = run_em_partitioned(
-            tables,
-            jnp.asarray(R, jnp.int32),
-            num_transcripts=T,
-            max_iterations=config.em_max_iterations,
-            convergence_threshold=config.em_convergence,
-            pseudocount=config.pseudocount,
-            epsilon=config.em_epsilon,
-            dtype=config.em_dtype,
-        )
+        pi, iters = _run_em(tables, R, T, config)
         jax.block_until_ready(pi)
     with timer.phase("assignment"):
         weighted, has_entry = assign_reads_partitioned(
