@@ -92,9 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _config_from_args(args, kmer_lengths) -> QuantConfig:
     em_dtype = args.em_dtype
-    if em_dtype is None:
-        import jax
+    import jax
 
+    if em_dtype == "float64" and not jax.config.jax_enable_x64:
+        # Without x64, jnp silently downcasts float64 -> float32 and the
+        # flag would be a no-op; the EM/assignment tables are tiny so
+        # enabling x64 costs nothing even on TPU.
+        jax.config.update("jax_enable_x64", True)
+    if em_dtype is None:
         em_dtype = (
             "float64"
             if jax.default_backend() == "cpu" and jax.config.jax_enable_x64

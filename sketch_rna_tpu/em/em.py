@@ -288,6 +288,56 @@ def run_em_partitioned(
     return pi, iters, done
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_transcripts",
+        "max_iterations",
+        "convergence_threshold",
+        "pseudocount",
+        "epsilon",
+        "dtype",
+        "axis_name",
+    ),
+)
+def run_em_assign_partitioned(
+    tables,
+    num_reads: jnp.ndarray,
+    *,
+    num_transcripts: int,
+    max_iterations: int = 20,
+    convergence_threshold: float = 0.01,
+    pseudocount: float = 0.01,
+    epsilon: float = 1e-10,
+    dtype: str = "float32",
+    axis_name: Optional[str] = None,
+):
+    """EM + final soft assignment as ONE device program (one dispatch,
+    zero host syncs between the loop and the assignment pass).
+
+    Returns (pi, iters, weighted, has_entry) — the complete quant tail.
+    """
+    pi, iters, _done = run_em_partitioned(
+        tables,
+        num_reads,
+        num_transcripts=num_transcripts,
+        max_iterations=max_iterations,
+        convergence_threshold=convergence_threshold,
+        pseudocount=pseudocount,
+        epsilon=epsilon,
+        dtype=dtype,
+        axis_name=axis_name,
+    )
+    weighted, has_entry = assign_reads_partitioned(
+        tables,
+        pi,
+        num_transcripts=num_transcripts,
+        dtype=dtype,
+        axis_name=axis_name,
+    )
+    return pi, iters, weighted, has_entry
+
+
 @partial(jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name"))
 def assign_reads_partitioned(
     tables,

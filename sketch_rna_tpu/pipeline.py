@@ -28,6 +28,7 @@ from sketch_rna_tpu.config import QuantConfig
 from sketch_rna_tpu.em.em import (
     assign_reads_partitioned,
     assign_reads_tables,
+    run_em_assign_partitioned,
     run_em_partitioned,
     run_em_tables,
 )
@@ -577,12 +578,19 @@ def quantify(
         return quantify_streamed(index, packed, config)
 
 
-# Classes narrower than this many candidates go to the "narrow" EM table.
-_EM_NARROW_WIDTH = 8
+# Classes narrower than this many candidates go to the "narrow" EM table
+# (4 covers the typical unique-or-small-family read; wider profiles are
+# rare enough that the wide table stays small — measured on the bench
+# transcriptome: 19k classes, ~1% wider than 4).
+_EM_NARROW_WIDTH = 4
 
 
 def _pow2ceil(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length() if n > 1 else 1
+
+
+def _round_up(n: int, mult: int) -> int:
+    return ((int(n) + mult - 1) // mult) * mult
 
 
 def _em_tables(tbl_tid, tbl_score, config: QuantConfig, row_weight=None):
@@ -618,9 +626,9 @@ def _em_tables(tbl_tid, tbl_score, config: QuantConfig, row_weight=None):
         )
         sc = np.asarray(scalars)  # the one host sync
         n_classes, n_wide = int(sc[0]), int(sc[1])
-        M_pad = min(max(_pow2ceil(n_classes), 1024), N_pad)
+        M_pad = min(max(_round_up(n_classes, 2048), 1024), N_pad)
         split = W > _EM_NARROW_WIDTH and n_wide > 0 and M_pad >= 1024
-        nw_pad = min(_pow2ceil(max(n_wide, 1)), M_pad) if split else 1
+        nw_pad = min(_round_up(max(n_wide, 1), 512), M_pad) if split else 1
         out_w = _EM_NARROW_WIDTH if (W > _EM_NARROW_WIDTH and n_wide == 0) else W
         tables = build_class_tables(
             tbl_tid,
@@ -680,8 +688,11 @@ def _em_tables(tbl_tid, tbl_score, config: QuantConfig, row_weight=None):
 
 def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig, timer):
     """Run the fused match scan, bucketing reads by power-of-two padded
-    length.  Returns (tbl_tid [N,C], tbl_score, n_cand_max int, stats
-    dict of device arrays list)."""
+    length.  Fully asynchronous: returns (tbl_tid [N,C], tbl_score,
+    n_cand_max DEVICE scalar, stats dict of device arrays) with no host
+    sync — the caller combines every needed scalar into one transfer
+    (tunnel round-trips cost ~35 ms each) and handles the flat-window
+    fallback when pretail drops are nonzero."""
     ks = tuple(index.kmer_lengths)
     bpacked, postings, bucket_meta = _device_index(index, ks)
     bpacked = tuple(jnp.asarray(a) for a in bpacked)
@@ -700,7 +711,7 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
     lengths_dev = jnp.asarray(packed.lengths, dtype=jnp.int32)
 
     tbl_parts = []
-    ncm = 0
+    ncm = 0  # device scalar after the first bucket
     stats_parts = []
     for pad in unique_pads:
         if len(unique_pads) == 1:
@@ -742,31 +753,23 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
                 tier_widths=widths,
             )
 
-        with timer.phase("match_scan", items=n_b):
-            t, s, nc, st = run_scan(config.match_tiers)
-            # One host sync for (max candidate width, pretail drops).
-            nc_pt = np.asarray(jnp.stack([nc, st["expand_dropped_pretail"]]))
-        if int(nc_pt[1]) > 0:
-            # Calibrated windows under-covered this dataset: rerun with the
-            # flat full-budget window — exactness over speed, never silent.
-            log.warning(
-                "tiered match dropped %d pretail events; rerunning flat",
-                int(nc_pt[1]),
-            )
-            t, s, nc, st = run_scan(False)
-            nc_pt = np.asarray(jnp.stack([nc, st["expand_dropped_pretail"]]))
+        t, s, nc, st = run_scan(config.match_tiers)
         tbl_parts.append((t, s))
-        ncm = max(ncm, int(nc_pt[0]))
+        ncm = nc if isinstance(ncm, int) else jnp.maximum(ncm, nc)
         stats_parts.append(st)
     if len(tbl_parts) == 1:
         tbl_tid, tbl_score = tbl_parts[0]
     else:
         tbl_tid = jnp.concatenate([t for t, _ in tbl_parts])
         tbl_score = jnp.concatenate([s for _, s in tbl_parts])
-    stats = {
-        k: sum(int(np.asarray(st[k]).sum()) for st in stats_parts)
-        for k in stats_parts[0]
-    }
+    # Device-side stat accumulation — NO host syncs here; the caller
+    # bundles ncm/pretail/class scalars into one transfer.
+    stats = {}
+    for k in stats_parts[0]:
+        acc = stats_parts[0][k]
+        for st in stats_parts[1:]:
+            acc = acc + st[k]
+        stats[k] = acc
     return tbl_tid, tbl_score, ncm, stats
 
 
@@ -792,7 +795,10 @@ def _run_em(tables, num_reads: int, num_transcripts: int, config: QuantConfig):
         pi, iters, _ = run_em_partitioned(
             tables, R_dev, max_iterations=config.em_max_iterations, **kw
         )
-        return pi, int(iters)
+        # iters stays a DEVICE scalar: syncing here would serialize EM
+        # completion before the assignment dispatch; callers bundle it
+        # into their one fetch transfer.
+        return pi, iters
 
     import os
 
@@ -836,40 +842,142 @@ def _quantify_fused(
     from sketch_rna_tpu.utils.timing import PhaseTimer
 
     timer = PhaseTimer()
-    tbl_tid, tbl_score, n_cand_max, stats = _match_tables(index, packed, config, timer)
-    with timer.phase("match_concat"):
-        jax.block_until_ready(tbl_tid)
+    with timer.phase("match_dispatch"):
+        tbl_tid, tbl_score, n_cand_max, stats = _match_tables(
+            index, packed, config, timer
+        )
+
+    N = tbl_tid.shape[0]
+    use_classes = config.em_equivalence_classes and N >= 1024
+    with timer.phase("match_scan", items=packed.num_reads):
+        if use_classes:
+            # Class metadata runs on the FULL-width tables (identical
+            # rows at full width are identical after narrowing: columns
+            # past every real candidate are zero), so its dispatch needs
+            # no ncm sync — ONE combined transfer then carries ncm,
+            # pretail and the class scalars together.
+            N_pad = 1 << (N - 1).bit_length()
+            if N_pad > N:
+                tbl_tid = jnp.pad(tbl_tid, ((0, N_pad - N), (0, 0)))
+                tbl_score = jnp.pad(tbl_score, ((0, N_pad - N), (0, 0)))
+            rep, weight, scalars = group_candidate_rows_meta(
+                tbl_tid, tbl_score, narrow_width=_EM_NARROW_WIDTH
+            )
+            sync = np.asarray(
+                jnp.concatenate(
+                    [
+                        jnp.reshape(n_cand_max, (1,)),
+                        jnp.reshape(stats["expand_dropped_pretail"], (1,)),
+                        scalars,
+                    ]
+                )
+            )
+        else:
+            sync = np.asarray(
+                jnp.stack([n_cand_max, stats["expand_dropped_pretail"]])
+            )
+
+    if config.match_tiers and int(sync[1]) > 0:
+        # Calibrated tier windows under-covered this dataset: rerun the
+        # whole match with the flat full-budget window — exactness over
+        # speed, never silent.
+        log.warning(
+            "tiered match dropped %d pretail events; rerunning flat",
+            int(sync[1]),
+        )
+        return _quantify_fused(
+            index, packed, dataclasses.replace(config, match_tiers=False), nb
+        )
+
     # Tables are rank-ordered per read, so narrowing to the max per-read
     # candidate count is lossless and shrinks the EM working set (the
-    # dominant EM cost is the posterior scatter over N*C lanes).
-    W = max(int(n_cand_max), 1)
+    # dominant EM cost is the posterior scatter over rows x width lanes).
+    W = max(int(sync[0]), 1)
     W = 1 << (W - 1).bit_length()  # pow2 to bound recompiles
     W = min(W, config.candidate_capacity)
     tbl_tid = jax.lax.slice_in_dim(tbl_tid, 0, W, axis=1)
     tbl_score = jax.lax.slice_in_dim(tbl_score, 0, W, axis=1)
 
     with timer.phase("classes"):
-        tables = _em_tables(tbl_tid, tbl_score, config)
-        jax.block_until_ready(tables[0][0])
+        if use_classes:
+            n_classes, n_wide = int(sync[2]), int(sync[3])
+            N_pad = tbl_tid.shape[0]
+            M_pad = min(max(_round_up(n_classes, 2048), 1024), N_pad)
+            split = W > _EM_NARROW_WIDTH and n_wide > 0 and M_pad >= 1024
+            nw_pad = min(_round_up(max(n_wide, 1), 512), M_pad) if split else 1
+            out_w = (
+                _EM_NARROW_WIDTH
+                if (W > _EM_NARROW_WIDTH and n_wide == 0)
+                else W
+            )
+            tables = build_class_tables(
+                tbl_tid,
+                tbl_score,
+                rep,
+                weight,
+                scalars[1],
+                m_pad=M_pad,
+                nw_pad=nw_pad,
+                narrow_width=_EM_NARROW_WIDTH,
+                split=split,
+                out_width=out_w,
+            )
+            log.info(
+                "equivalence classes: %d reads -> %d classes (%d wide)",
+                N,
+                n_classes,
+                n_wide,
+            )
+        else:
+            tables = _em_tables(tbl_tid, tbl_score, config)
 
-    with timer.phase("em"):
-        pi, iters = _run_em(
-            tables, packed.num_reads, index.num_transcripts, config
-        )
-        jax.block_until_ready(pi)
-    with timer.phase("assignment"):
-        weighted, has_entry = assign_reads_partitioned(
-            tables,
-            pi,
-            num_transcripts=index.num_transcripts,
-            dtype=config.em_dtype,
-        )
-        jax.block_until_ready(weighted)
+    with timer.phase("em_assign"):
+        if config.em_checkpoint:
+            pi, iters = _run_em(
+                tables, packed.num_reads, index.num_transcripts, config
+            )
+            weighted, has_entry = assign_reads_partitioned(
+                tables,
+                pi,
+                num_transcripts=index.num_transcripts,
+                dtype=config.em_dtype,
+            )
+        else:
+            pi, iters, weighted, has_entry = run_em_assign_partitioned(
+                tables,
+                jnp.asarray(packed.num_reads, jnp.int32),
+                num_transcripts=index.num_transcripts,
+                max_iterations=config.em_max_iterations,
+                convergence_threshold=config.em_convergence,
+                pseudocount=config.pseudocount,
+                epsilon=config.em_epsilon,
+                dtype=config.em_dtype,
+            )
     with timer.phase("fetch"):
-        pi = np.asarray(pi)
-        weighted = np.asarray(weighted)
-        has_entry = np.asarray(has_entry)
-        host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
+        # Bundle every device->host readback into TWO transfers (one int
+        # bundle, one float bundle): each individual np.asarray pays the
+        # tunnel round-trip latency (~10-30 ms), and there are ~8 small
+        # results here.
+        T = index.num_transcripts
+        stat_keys = sorted(stats)
+        ints = jnp.concatenate(
+            [jnp.reshape(jnp.asarray(iters, jnp.int32), (1,))]
+            + [jnp.ravel(has_entry).astype(jnp.int32)]
+            + [jnp.ravel(jnp.asarray(stats[k])).astype(jnp.int32) for k in stat_keys]
+        )
+        floats = jnp.concatenate([jnp.ravel(pi), jnp.ravel(weighted)])
+        ints_h = np.asarray(ints)
+        floats_h = np.asarray(floats)
+        iters = int(ints_h[0])
+        has_entry = ints_h[1 : 1 + T].astype(bool)
+        pi = floats_h[:T]
+        weighted = floats_h[T:]
+        host_stats = {}
+        off = 1 + T
+        for k in stat_keys:
+            n = int(np.prod(np.shape(stats[k]))) if np.shape(stats[k]) else 1
+            host_stats[k] = int(ints_h[off : off + n].sum())
+            off += n
     for key, v in host_stats.items():
         if v:
             log.warning("capacity overflow during matching: %s=%d", key, v)
@@ -892,17 +1000,20 @@ def quantify_sharded(
     config: Optional[QuantConfig] = None,
     mesh=None,
 ) -> QuantResult:
-    """Multi-device quant via the shard_map pipeline (dist/quant_sharded):
-    reads data-parallel, index hash-range-sharded, EM psum per iteration.
+    """Multi-device quant via the STREAMING shard_map engine
+    (dist/quant_stream): reads scan through per-device class buffers in
+    chunks (O(chunk + buffer) HBM at any R), the index is hash-range
+    sharded, and the EM psums per iteration over the data axis.
 
     With mesh=None, builds a mesh over all visible devices
     (dist.mesh.mesh_factor decides the data/index split).  Results are
-    identical to quantify() (asserted in tests/test_sharded.py).
+    identical to quantify() (asserted in tests/test_sharded.py and
+    tests/test_quantify_sharded_api.py).
     """
     import jax
 
     from sketch_rna_tpu.dist.mesh import make_mesh, mesh_factor
-    from sketch_rna_tpu.dist.quant_sharded import quant_step_sharded
+    from sketch_rna_tpu.dist.quant_stream import em_assign_sharded, stream_sharded_scan
     from sketch_rna_tpu.index.shard import shard_index_arrays
 
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
@@ -924,39 +1035,89 @@ def quantify_sharded(
     ip = mesh.shape["index"]
 
     R = packed.num_reads
-    B = ((R + dp - 1) // dp) * dp
-    codes = jnp.pad(jnp.asarray(packed.codes), ((0, B - R), (0, 0)))
-    lengths = jnp.pad(jnp.asarray(packed.lengths, dtype=jnp.int32), (0, B - R))
+    L = int(packed.padded_len)
+    Bl = config.batch_size
+    Bg = Bl * dp
+    nb = max((R + Bg - 1) // Bg, 1)
+    codes = jnp.pad(jnp.asarray(packed.codes), ((0, nb * Bg - R), (0, 0)))
+    lengths = jnp.pad(jnp.asarray(packed.lengths, dtype=jnp.int32), (0, nb * Bg - R))
+    codes_all = codes.reshape(nb, Bg, L)
+    lengths_all = lengths.reshape(nb, Bg)
 
     shards = shard_index_arrays(index, ip)
     ks = tuple(index.kmer_lengths)
     keys = tuple(jnp.asarray(shards[k][0]) for k in ks)
     row_ptr = tuple(jnp.asarray(shards[k][1]) for k in ks)
     postings = tuple(jnp.asarray(shards[k][2]) for k in ks)
-    caps = tuple(config.sketch_capacity_for(k) for k in ks)
+    caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
+    # Tier calibration uses the UNSHARDED index probe: its totals are the
+    # global per-read event counts — exactly the sharded tier key.
+    bpacked, _post_full, bucket_meta = _device_index(index, ks)
+    widths = _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L)
+    m_cap = min(
+        max(config.stream_class_capacity, 2 * Bl),
+        max(_round_up(nb * Bl, 1024), 2 * Bl),
+    )
 
-    pi, weighted, has_entry, iters, stats = quant_step_sharded(
-        codes,
-        lengths,
-        keys,
-        row_ptr,
-        postings,
+    def run(tiers: bool):
+        return stream_sharded_scan(
+            codes_all,
+            lengths_all,
+            keys,
+            row_ptr,
+            postings,
+            mesh=mesh,
+            kmer_lengths=ks,
+            sketch_fraction=config.sketch_fraction,
+            sketch_caps=caps,
+            chain_fraction=config.chain_fraction,
+            expand_per_read=config.expand_per_read,
+            candidate_capacity=config.candidate_capacity,
+            num_transcripts=index.num_transcripts,
+            match_tiers=tiers,
+            tier_widths=widths,
+            m_cap=m_cap,
+        )
+
+    bt, bs, bw, scalars, dropped, sk_ov = run(config.match_tiers)
+    sc = np.asarray(scalars)
+    if config.match_tiers and int(sc[2]) > 0:
+        log.warning(
+            "tiered sharded match dropped %d pretail events; rerunning flat",
+            int(sc[2]),
+        )
+        bt, bs, bw, scalars, dropped, sk_ov = run(False)
+        sc = np.asarray(scalars)
+
+    W = max(int(sc[0]), 1)
+    W = min(1 << (W - 1).bit_length(), config.candidate_capacity)
+    m_pad = min(max(_round_up(int(sc[1]), 1024), 1024), m_cap)
+
+    pi, iters, weighted, has_entry = em_assign_sharded(
+        bt,
+        bs,
+        bw,
         jnp.asarray(R, jnp.int32),
         mesh=mesh,
-        kmer_lengths=ks,
-        sketch_fraction=config.sketch_fraction,
-        sketch_caps=caps,
-        chain_fraction=config.chain_fraction,
-        expand_per_read=config.expand_per_read,
-        candidate_capacity=config.candidate_capacity,
         num_transcripts=index.num_transcripts,
+        m_pad=m_pad,
+        width=W,
         em_max_iterations=config.em_max_iterations,
         em_convergence=config.em_convergence,
         pseudocount=config.pseudocount,
         em_epsilon=config.em_epsilon,
         em_dtype=config.em_dtype,
     )
-    host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
+    host_stats = {
+        "expand_dropped": int(np.asarray(dropped).sum()),
+        "sketch_overflow": int(np.asarray(sk_ov).sum()),
+        "candidate_spilled": int(sc[3]),
+        "class_overflow": int(sc[4]),
+        "expand_dropped_pretail": int(sc[2]),
+    }
+    for key, v in host_stats.items():
+        if v:
+            log.warning("capacity overflow during sharded match: %s=%d", key, v)
     return QuantResult(
         names=list(index.names),
         pi=np.asarray(pi),
