@@ -718,12 +718,21 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
             codes_b = codes_dev[:, : min(pad, packed.padded_len)]
             lengths_b = lengths_dev
             n_b = R
+            l_max = int(lengths_np.max()) if R else 0
         else:
             rows = np.flatnonzero(pads == pad)
             n_b = rows.size
             rows_dev = jnp.asarray(rows.astype(np.int32))
             codes_b = codes_dev[rows_dev][:, : min(pad, packed.padded_len)]
             lengths_b = lengths_dev[rows_dev]
+            l_max = int(lengths_np[rows].max()) if n_b else 0
+        # Slice the code lanes to the bucket's TRUE max length (rounded
+        # to 8 to bound recompiles): the hash/sort lane count follows
+        # the array width, and e.g. 150 bp reads in the min-256 bucket
+        # otherwise pay 226 hash windows + 226-lane dedup sorts where
+        # 122 (one 128-lane tile) suffice.
+        l_eff = min(codes_b.shape[1], _round_up(max(l_max, max(ks)), 8))
+        codes_b = codes_b[:, :l_eff]
         nb_b = max((n_b + B - 1) // B, 1)
         Nb = nb_b * B
         L = codes_b.shape[1]
@@ -954,30 +963,41 @@ def _quantify_fused(
                 dtype=config.em_dtype,
             )
     with timer.phase("fetch"):
-        # Bundle every device->host readback into TWO transfers (one int
-        # bundle, one float bundle): each individual np.asarray pays the
-        # tunnel round-trip latency (~10-30 ms), and there are ~8 small
-        # results here.
+        # Bundle every device->host readback into ONE transfer: each
+        # np.asarray pays the tunnel round-trip latency (~10-30 ms), so
+        # the float results are bitcast into the int32 bundle (exact —
+        # bits round-trip) and split back out on the host.
         T = index.num_transcripts
         stat_keys = sorted(stats)
-        ints = jnp.concatenate(
+        f_dtype = jnp.asarray(pi).dtype
+        floats = jnp.concatenate([jnp.ravel(pi), jnp.ravel(weighted)])
+        parts = (
             [jnp.reshape(jnp.asarray(iters, jnp.int32), (1,))]
             + [jnp.ravel(has_entry).astype(jnp.int32)]
             + [jnp.ravel(jnp.asarray(stats[k])).astype(jnp.int32) for k in stat_keys]
         )
-        floats = jnp.concatenate([jnp.ravel(pi), jnp.ravel(weighted)])
-        ints_h = np.asarray(ints)
-        floats_h = np.asarray(floats)
+        # float32 results bitcast into the int bundle (bits round-trip
+        # exactly) so everything rides ONE transfer; float64 keeps a
+        # second transfer (64-bit bitcast trips XLA's x64 rewriting on
+        # some backends, and the f64 path is the CPU parity surface
+        # where latency is irrelevant).
+        one_transfer = f_dtype == jnp.float32
+        if one_transfer:
+            parts.append(jnp.ravel(jax.lax.bitcast_convert_type(floats, jnp.int32)))
+        ints_h = np.asarray(jnp.concatenate(parts))
+        floats_h = (
+            ints_h[-2 * T :].view(np.float32) if one_transfer else np.asarray(floats)
+        )
         iters = int(ints_h[0])
         has_entry = ints_h[1 : 1 + T].astype(bool)
-        pi = floats_h[:T]
-        weighted = floats_h[T:]
         host_stats = {}
         off = 1 + T
         for k in stat_keys:
             n = int(np.prod(np.shape(stats[k]))) if np.shape(stats[k]) else 1
             host_stats[k] = int(ints_h[off : off + n].sum())
             off += n
+        pi = floats_h[:T]
+        weighted = floats_h[T:]
     for key, v in host_stats.items():
         if v:
             log.warning("capacity overflow during matching: %s=%d", key, v)
