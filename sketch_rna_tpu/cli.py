@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.distributed coordinator address (multi-host)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--em-mxu", choices=["auto", "on", "off"], default="auto",
+                   help="one-hot MXU E-step for EM/assignment (auto: TPU + "
+                   "float32 + small transcriptome only)")
     p.add_argument("--em-checkpoint", default=None, metavar="PATH",
                    help="periodically checkpoint EM state to PATH and resume "
                    "from it if present (single-device quant)")
@@ -117,6 +120,7 @@ def _config_from_args(args, kmer_lengths) -> QuantConfig:
         candidate_capacity=args.candidate_capacity,
         expand_per_read=args.expand_per_read,
         em_dtype=em_dtype,
+        em_mxu=args.em_mxu,
         em_checkpoint=args.em_checkpoint,
     )
 

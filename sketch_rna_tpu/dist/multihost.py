@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sketch_rna_tpu.config import QuantConfig
+from sketch_rna_tpu.em.em import resolve_em_mxu
 from sketch_rna_tpu.index.artifact import IndexArtifact
 from sketch_rna_tpu.io.packing import PackedReads
 
@@ -121,6 +122,12 @@ def quantify_sharded_multihost(
         pseudocount=config.pseudocount,
         em_epsilon=config.em_epsilon,
         em_dtype=config.em_dtype,
+        use_mxu=resolve_em_mxu(
+            config.em_mxu,
+            index.num_transcripts,
+            codes_g.shape[0] * config.candidate_capacity,
+            config.em_dtype,
+        ),
     )
     host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
     return QuantResult(

@@ -52,6 +52,7 @@ def _body(
     pseudocount,
     em_epsilon,
     em_dtype,
+    use_mxu,
 ):
     Bl = codes.shape[0]  # local read rows
     K = len(kmer_lengths)
@@ -109,6 +110,7 @@ def _body(
         epsilon=em_epsilon,
         dtype=em_dtype,
         axis_name="data",
+        use_mxu=use_mxu,
     )
     weighted, has_entry = assign_reads_tables(
         tbl_tid,
@@ -117,6 +119,7 @@ def _body(
         num_transcripts=num_transcripts,
         dtype=em_dtype,
         axis_name="data",
+        use_mxu=use_mxu,
     )
     stats = {
         "expand_dropped": jax.lax.psum(
@@ -146,6 +149,7 @@ def _body(
         "pseudocount",
         "em_epsilon",
         "em_dtype",
+        "use_mxu",
     ),
 )
 def quant_step_sharded(
@@ -169,6 +173,7 @@ def quant_step_sharded(
     pseudocount: float = 0.01,
     em_epsilon: float = 1e-10,
     em_dtype: str = "float32",
+    use_mxu: bool = False,
 ):
     body = partial(
         _body,
@@ -184,6 +189,7 @@ def quant_step_sharded(
         pseudocount=pseudocount,
         em_epsilon=em_epsilon,
         em_dtype=em_dtype,
+        use_mxu=use_mxu,
     )
     K = len(kmer_lengths)
     in_specs = (

@@ -328,6 +328,7 @@ def stream_sharded_scan(
         "pseudocount",
         "em_epsilon",
         "em_dtype",
+        "use_mxu",
     ),
 )
 def em_assign_sharded(
@@ -345,6 +346,7 @@ def em_assign_sharded(
     pseudocount: float = 0.01,
     em_epsilon: float = 1e-10,
     em_dtype: str = "float32",
+    use_mxu: bool = False,
 ):
     """Program 2: EM + assignment over the compacted class buffers.
 
@@ -369,6 +371,7 @@ def em_assign_sharded(
             epsilon=em_epsilon,
             dtype=em_dtype,
             axis_name="data",
+            use_mxu=use_mxu,
         )
         return pi, iters, weighted, has_entry
 

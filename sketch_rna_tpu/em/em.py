@@ -40,6 +40,81 @@ def _psum_maybe(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
+# --- MXU one-hot E-step -------------------------------------------------
+#
+# The E-step is two irregular memory ops per iteration: gather pi[tid]
+# and scatter-add the posteriors back into [T].  On TPU both run on the
+# scalar/vector path at ~90M elem/s — while the MXU sits idle.  For
+# moderate T, both reformulate as dense one-hot matmuls over a 2D tiling
+# of pi (rows of 128 lanes): tid factors into (row, lane) = (tid // 128,
+# tid % 128), and
+#   gather:  val = rowsum( (onehot_row @ pi2d) * onehot_lane )
+#   scatter: ps2d = (onehot_row * post).T @ onehot_lane
+# Measured on TPU (T=2k, 20k x 16 table): 1.61 ms vs 5.99 ms per
+# iteration — 3.7x — at HIGHEST precision (f32 on MXU), max rel error
+# ~5e-7 vs the scatter path (summation-order only; one-hot products are
+# exact).  Cost scales with T (FLOPs ~ lanes * T_pad per matmul) and the
+# one-hot operands take lanes * (T_pad/128 + 128) * 4 bytes, so the
+# auto gate (mxu_em_auto) limits it to small-T / f32 / TPU runs; the
+# scatter path remains the general fallback and the float64 parity path.
+
+_MXU_LANE = 128
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def mxu_em_auto(num_transcripts: int, total_lanes: int, dtype) -> bool:
+    """Heuristic: is the one-hot MXU E-step profitable and safe here?"""
+    if jnp.dtype(dtype) != jnp.float32:
+        return False  # float64 EM is the bit-parity path; keep scatter
+    if jax.default_backend() != "tpu":
+        return False
+    tp = _round_up(max(num_transcripts, 1), _MXU_LANE)
+    if tp > 16384:
+        return False  # FLOPs ~ lanes*T_pad stop paying past this
+    # one-hot operand footprint (f32): lanes x (T_pad/128) + lanes x 128
+    if total_lanes * (tp // _MXU_LANE + _MXU_LANE) * 4 > (1 << 29):
+        return False
+    return True
+
+
+def resolve_em_mxu(mode: str, num_transcripts: int, total_lanes: int, dtype) -> bool:
+    """Map the config's em_mxu mode ("auto"/"on"/"off") to a decision."""
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return mxu_em_auto(num_transcripts, total_lanes, dtype)
+
+
+def _mxu_onehots(flat_tid: jnp.ndarray, num_rows: int):
+    """[lanes] int32 -> f32 one-hot factors ([lanes, rows], [lanes, 128])."""
+    tr = (flat_tid // _MXU_LANE).astype(jnp.int32)
+    tl = (flat_tid % _MXU_LANE).astype(jnp.int32)
+    oh_row = (tr[:, None] == jnp.arange(num_rows, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    oh_lane = (tl[:, None] == jnp.arange(_MXU_LANE, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    return oh_row, oh_lane
+
+
+def _mxu_gather(pi2d: jnp.ndarray, oh_row: jnp.ndarray, oh_lane: jnp.ndarray):
+    """val[n] = pi2d[row[n], lane[n]] as two MXU ops; exact (one-hot select)."""
+    cand = jnp.dot(oh_row, pi2d, preferred_element_type=jnp.float32, precision=_HI)
+    return jnp.sum(cand * oh_lane, axis=1)
+
+
+def _mxu_scatter2d(vals: jnp.ndarray, oh_row: jnp.ndarray, oh_lane: jnp.ndarray):
+    """ps2d[r, l] = sum over lanes mapping to (r, l) of vals; f32 MXU matmul."""
+    a = oh_row * vals[:, None]
+    return jnp.dot(a.T, oh_lane, preferred_element_type=jnp.float32, precision=_HI)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -123,6 +198,7 @@ def run_em(
         "epsilon",
         "dtype",
         "axis_name",
+        "use_mxu",
     ),
 )
 def run_em_tables(
@@ -140,6 +216,7 @@ def run_em_tables(
     init_pi: Optional[jnp.ndarray] = None,
     start_iteration: int = 0,
     weight: Optional[jnp.ndarray] = None,
+    use_mxu: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EM directly over [N, C] candidate tables (same math as run_em).
 
@@ -154,48 +231,23 @@ def run_em_tables(
     init_pi/start_iteration resume from an EM checkpoint
     (em/checkpoint.py): the loop continues from the saved pi with the
     remaining iteration budget.
+
+    Thin wrapper over run_em_partitioned with a single table — one
+    implementation of the loop math to keep in sync.
     """
-    T = num_transcripts
-    dt = jnp.dtype(dtype)
-    score = tbl_score.astype(dt)
-
-    pi0 = (
-        jnp.full(T, 1.0 / T, dtype=dt)
-        if init_pi is None
-        else jnp.asarray(init_pi, dtype=dt)
-    )
-    pcf = jnp.float32(pseudocount)
-    # Both addends stay at float32 precision before promotion, and the
-    # additions run in the C++ source order — (posterior_sum + pc/R) + pc
-    # left-to-right (src/isoform_assignment.cpp:54-60) — so float64 runs
-    # match the reference to the last ulp.
-    term_div = (pcf / num_reads.astype(jnp.float32)).astype(dt)
-    term_pc = pcf.astype(dt)
-
-    wgt = None if weight is None else weight.astype(dt)[:, None]
-
-    def e_step(pi):
-        w = pi[tbl_tid] * score  # [N, C]
-        denom = jnp.sum(w, axis=1, keepdims=True)
-        inv = jnp.where(denom > jnp.asarray(epsilon, dt), 1.0 / denom, jnp.asarray(0, dt))
-        post = w * inv
-        if wgt is not None:
-            post = post * wgt
-        ps = jnp.zeros(T, dt).at[tbl_tid.reshape(-1)].add(post.reshape(-1))
-        return _psum_maybe(ps, axis_name)
-
-    def cond(state):
-        _, it, done = state
-        return (it < max_iterations) & jnp.logical_not(done)
-
-    def body(state):
-        pi, it, _ = state
-        new_pi = (e_step(pi) + term_div) + term_pc
-        change = jnp.sum(jnp.abs(new_pi - pi))
-        return new_pi, it + 1, change < jnp.asarray(convergence_threshold, dt)
-
-    pi, iters, _ = jax.lax.while_loop(
-        cond, body, (pi0, jnp.int32(start_iteration), jnp.bool_(False))
+    pi, iters, _done = run_em_partitioned(
+        ((tbl_tid, tbl_score, weight),),
+        num_reads,
+        num_transcripts=num_transcripts,
+        max_iterations=max_iterations,
+        convergence_threshold=convergence_threshold,
+        pseudocount=pseudocount,
+        epsilon=epsilon,
+        dtype=dtype,
+        axis_name=axis_name,
+        init_pi=init_pi,
+        start_iteration=start_iteration,
+        use_mxu=use_mxu,
     )
     return pi, iters
 
@@ -210,6 +262,7 @@ def run_em_tables(
         "epsilon",
         "dtype",
         "axis_name",
+        "use_mxu",
     ),
 )
 def run_em_partitioned(
@@ -225,6 +278,7 @@ def run_em_partitioned(
     axis_name: Optional[str] = None,
     init_pi: Optional[jnp.ndarray] = None,
     start_iteration: int = 0,
+    use_mxu: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """EM over several width-partitioned class tables at once.
 
@@ -242,11 +296,16 @@ def run_em_partitioned(
     """
     T = num_transcripts
     dt = jnp.dtype(dtype)
+    tp = _round_up(max(T, 1), _MXU_LANE)
     prepped = []
     for tid, score, weight in tables:
         sc = score.astype(dt)
         wgt = None if weight is None else weight.astype(dt)[:, None]
-        prepped.append((tid, sc, wgt))
+        if use_mxu:
+            oh = _mxu_onehots(tid.reshape(-1), tp // _MXU_LANE)
+        else:
+            oh = None
+        prepped.append((tid, sc, wgt, oh))
 
     pi0 = (
         jnp.full(T, 1.0 / T, dtype=dt)
@@ -259,8 +318,22 @@ def run_em_partitioned(
     term_pc = pcf.astype(dt)
 
     def e_step(pi):
+        if use_mxu:
+            pi2d = jnp.pad(pi, (0, tp - T)).reshape(tp // _MXU_LANE, _MXU_LANE)
+            ps2d = jnp.zeros((tp // _MXU_LANE, _MXU_LANE), dt)
+            for tid, sc, wgt, (oh_row, oh_lane) in prepped:
+                w = _mxu_gather(pi2d, oh_row, oh_lane).reshape(sc.shape) * sc
+                denom = jnp.sum(w, axis=1, keepdims=True)
+                inv = jnp.where(
+                    denom > jnp.asarray(epsilon, dt), 1.0 / denom, jnp.asarray(0, dt)
+                )
+                post = w * inv
+                if wgt is not None:
+                    post = post * wgt
+                ps2d = ps2d + _mxu_scatter2d(post.reshape(-1), oh_row, oh_lane)
+            return _psum_maybe(ps2d.reshape(tp)[:T], axis_name)
         ps = jnp.zeros(T, dt)
-        for tid, sc, wgt in prepped:
+        for tid, sc, wgt, _oh in prepped:
             w = pi[tid] * sc
             denom = jnp.sum(w, axis=1, keepdims=True)
             inv = jnp.where(
@@ -298,6 +371,7 @@ def run_em_partitioned(
         "epsilon",
         "dtype",
         "axis_name",
+        "use_mxu",
     ),
 )
 def run_em_assign_partitioned(
@@ -311,6 +385,7 @@ def run_em_assign_partitioned(
     epsilon: float = 1e-10,
     dtype: str = "float32",
     axis_name: Optional[str] = None,
+    use_mxu: bool = False,
 ):
     """EM + final soft assignment as ONE device program (one dispatch,
     zero host syncs between the loop and the assignment pass).
@@ -327,6 +402,7 @@ def run_em_assign_partitioned(
         epsilon=epsilon,
         dtype=dtype,
         axis_name=axis_name,
+        use_mxu=use_mxu,
     )
     weighted, has_entry = assign_reads_partitioned(
         tables,
@@ -334,11 +410,14 @@ def run_em_assign_partitioned(
         num_transcripts=num_transcripts,
         dtype=dtype,
         axis_name=axis_name,
+        use_mxu=use_mxu,
     )
     return pi, iters, weighted, has_entry
 
 
-@partial(jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name"))
+@partial(
+    jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name", "use_mxu")
+)
 def assign_reads_partitioned(
     tables,
     pi: jnp.ndarray,
@@ -346,15 +425,31 @@ def assign_reads_partitioned(
     num_transcripts: int,
     dtype: str = "float32",
     axis_name: Optional[str] = None,
+    use_mxu: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Partitioned-table soft assignment (see run_em_partitioned)."""
+    """Partitioned-table soft assignment (see run_em_partitioned).
+
+    With use_mxu the weighted-count and has-entry scatters run as one-hot
+    MXU matmuls; the has-entry accumulator is an exact small-integer f32
+    sum (counts < 2^24), compared > 0.5 to recover the boolean.
+    """
     T = num_transcripts
     dt = jnp.dtype(dtype)
-    weighted = jnp.zeros(T, dt)
-    has_entry = jnp.zeros(T, jnp.int32)
+    tp = _round_up(max(T, 1), _MXU_LANE)
+    if use_mxu:
+        w2d = jnp.zeros((tp // _MXU_LANE, _MXU_LANE), dt)
+        h2d = jnp.zeros((tp // _MXU_LANE, _MXU_LANE), jnp.float32)
+        pi2d = jnp.pad(pi, (0, tp - T)).reshape(tp // _MXU_LANE, _MXU_LANE)
+    else:
+        weighted = jnp.zeros(T, dt)
+        has_entry = jnp.zeros(T, jnp.int32)
     for tid, score, weight in tables:
         sc = score.astype(dt)
-        w = pi[tid] * sc
+        if use_mxu:
+            oh_row, oh_lane = _mxu_onehots(tid.reshape(-1), tp // _MXU_LANE)
+            w = _mxu_gather(pi2d, oh_row, oh_lane).reshape(sc.shape) * sc
+        else:
+            w = pi[tid] * sc
         denom = jnp.sum(w, axis=1, keepdims=True)
         ok = denom > jnp.asarray(0, dt)
         inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), jnp.asarray(0, dt))
@@ -363,16 +458,27 @@ def assign_reads_partitioned(
         if weight is not None:
             prob = prob * weight.astype(dt)[:, None]
             contributes = contributes & (weight > 0)[:, None]
-        weighted = weighted.at[tid.reshape(-1)].add(prob.reshape(-1))
-        has_entry = has_entry.at[tid.reshape(-1)].add(
-            contributes.reshape(-1).astype(jnp.int32)
-        )
+        if use_mxu:
+            w2d = w2d + _mxu_scatter2d(prob.reshape(-1), oh_row, oh_lane)
+            h2d = h2d + _mxu_scatter2d(
+                contributes.reshape(-1).astype(jnp.float32), oh_row, oh_lane
+            )
+        else:
+            weighted = weighted.at[tid.reshape(-1)].add(prob.reshape(-1))
+            has_entry = has_entry.at[tid.reshape(-1)].add(
+                contributes.reshape(-1).astype(jnp.int32)
+            )
+    if use_mxu:
+        weighted = w2d.reshape(tp)[:T]
+        has_entry = h2d.reshape(tp)[:T].astype(jnp.int32)
     weighted = _psum_maybe(weighted, axis_name)
     has_entry = _psum_maybe(has_entry, axis_name)
     return weighted, has_entry > 0
 
 
-@partial(jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name"))
+@partial(
+    jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name", "use_mxu")
+)
 def assign_reads_tables(
     tbl_tid: jnp.ndarray,
     tbl_score: jnp.ndarray,
@@ -382,29 +488,19 @@ def assign_reads_tables(
     dtype: str = "float32",
     axis_name: Optional[str] = None,
     weight: Optional[jnp.ndarray] = None,
+    use_mxu: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Table-layout soft assignment (same math as assign_reads);
-    weight as in run_em_tables."""
-    T = num_transcripts
-    dt = jnp.dtype(dtype)
-    score = tbl_score.astype(dt)
-    w = pi[tbl_tid] * score
-    denom = jnp.sum(w, axis=1, keepdims=True)
-    ok = denom > jnp.asarray(0, dt)
-    inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), jnp.asarray(0, dt))
-    prob = w * inv
-    contributes = (score > 0) & ok
-    if weight is not None:
-        prob = prob * weight.astype(dt)[:, None]
-        contributes = contributes & (weight > 0)[:, None]
-    flat_tid = tbl_tid.reshape(-1)
-    weighted = jnp.zeros(T, dt).at[flat_tid].add(prob.reshape(-1))
-    has_entry = jnp.zeros(T, jnp.int32).at[flat_tid].add(
-        contributes.reshape(-1).astype(jnp.int32)
+    weight as in run_em_tables.  Thin wrapper over the partitioned
+    version with a single table."""
+    return assign_reads_partitioned(
+        ((tbl_tid, tbl_score, weight),),
+        pi,
+        num_transcripts=num_transcripts,
+        dtype=dtype,
+        axis_name=axis_name,
+        use_mxu=use_mxu,
     )
-    weighted = _psum_maybe(weighted, axis_name)
-    has_entry = _psum_maybe(has_entry, axis_name)
-    return weighted, has_entry > 0
 
 
 @partial(

@@ -28,6 +28,7 @@ from sketch_rna_tpu.config import QuantConfig
 from sketch_rna_tpu.em.em import (
     assign_reads_partitioned,
     assign_reads_tables,
+    resolve_em_mxu,
     run_em_assign_partitioned,
     run_em_partitioned,
     run_em_tables,
@@ -798,6 +799,12 @@ def _run_em(tables, num_reads: int, num_transcripts: int, config: QuantConfig):
         pseudocount=config.pseudocount,
         epsilon=config.em_epsilon,
         dtype=config.em_dtype,
+        use_mxu=resolve_em_mxu(
+            config.em_mxu,
+            num_transcripts,
+            sum(t[0].size for t in tables),
+            config.em_dtype,
+        ),
     )
     R_dev = jnp.asarray(num_reads, jnp.int32)
     if not config.em_checkpoint:
@@ -941,6 +948,12 @@ def _quantify_fused(
             tables = _em_tables(tbl_tid, tbl_score, config)
 
     with timer.phase("em_assign"):
+        use_mxu = resolve_em_mxu(
+            config.em_mxu,
+            index.num_transcripts,
+            sum(t[0].size for t in tables),
+            config.em_dtype,
+        )
         if config.em_checkpoint:
             pi, iters = _run_em(
                 tables, packed.num_reads, index.num_transcripts, config
@@ -950,6 +963,7 @@ def _quantify_fused(
                 pi,
                 num_transcripts=index.num_transcripts,
                 dtype=config.em_dtype,
+                use_mxu=use_mxu,
             )
         else:
             pi, iters, weighted, has_entry = run_em_assign_partitioned(
@@ -961,6 +975,7 @@ def _quantify_fused(
                 pseudocount=config.pseudocount,
                 epsilon=config.em_epsilon,
                 dtype=config.em_dtype,
+                use_mxu=use_mxu,
             )
     with timer.phase("fetch"):
         # Bundle every device->host readback into ONE transfer: each
@@ -1127,6 +1142,9 @@ def quantify_sharded(
         pseudocount=config.pseudocount,
         em_epsilon=config.em_epsilon,
         em_dtype=config.em_dtype,
+        use_mxu=resolve_em_mxu(
+            config.em_mxu, index.num_transcripts, m_pad * W, config.em_dtype
+        ),
     )
     host_stats = {
         "expand_dropped": int(np.asarray(dropped).sum()),
