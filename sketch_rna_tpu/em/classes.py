@@ -46,12 +46,13 @@ def _mix(h: jnp.ndarray, v: jnp.ndarray, mult: jnp.ndarray) -> jnp.ndarray:
     return h ^ (h >> jnp.uint32(15))
 
 
-@partial(jax.jit, static_argnames=("narrow_width",))
+@partial(jax.jit, static_argnames=("narrow_width", "mid_width"))
 def group_candidate_rows_meta(
     tbl_tid: jnp.ndarray,
     tbl_score: jnp.ndarray,
     narrow_width: int = 8,
     row_weight: jnp.ndarray = None,
+    mid_width: int = 0,
 ):
     """Phase 1: grouping metadata for identical (tid-row, score-row)
     pairs — no [N, W] data movement.
@@ -63,12 +64,17 @@ def group_candidate_rows_meta(
         count into n_wide (for the caller's narrow/wide partition).
       row_weight: optional [N] int32 per-row multiplicities (rows that
         are themselves compacted classes, streaming path); default 1.
+      mid_width: optional middle tier bound (> narrow_width): classes
+        with narrow_width < n_cand <= mid_width count into n_mid.
 
     Returns:
       rep_orig: [N] int32 — ORIGINAL row index of class c's
                 representative at position c (arbitrary past n_classes).
       weight:   [N] int32 multiplicities (0 past n_classes).
-      scalars:  [2] int32 (n_classes, n_wide).
+      scalars:  [4] int32 (n_classes, n_wide, n_tail1, n_mid) where
+                n_tail1 counts classes with <= 1 candidates (foldable:
+                their per-iteration EM contribution is constant) and
+                n_mid the middle-tier classes (0 when mid_width unset).
     """
     N, W = tbl_tid.shape
     h1 = jnp.full(N, 0x811C9DC5, jnp.uint32)
@@ -113,66 +119,209 @@ def group_candidate_rows_meta(
     rep_orig = jnp.zeros(N, jnp.int32).at[class_id].set(s_idx)
 
     n_cand = jnp.sum(tbl_score > 0, axis=1)  # [N] on original rows
-    is_wide = (n_cand[rep_orig] > narrow_width) & (weight > 0)
+    nc_rep = n_cand[rep_orig]
+    live = weight > 0
+    is_wide = (nc_rep > narrow_width) & live
     n_wide = jnp.sum(is_wide.astype(jnp.int32))
+    n_tail1 = jnp.sum(((nc_rep <= 1) & live).astype(jnp.int32))
+    if mid_width > narrow_width:
+        n_mid = jnp.sum(
+            ((nc_rep > narrow_width) & (nc_rep <= mid_width) & live).astype(jnp.int32)
+        )
+    else:
+        n_mid = jnp.int32(0)
     # jnp.sum/cumsum promote to the default int width under x64; pin the
     # scalars to int32 so carries stay dtype-stable.
-    return rep_orig, weight, jnp.stack([n_classes, n_wide]).astype(jnp.int32)
+    return (
+        rep_orig,
+        weight,
+        jnp.stack([n_classes, n_wide, n_tail1, n_mid]).astype(jnp.int32),
+    )
+
+
+def _round_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def plan_class_tables(
+    scalars_host,
+    *,
+    width: int,
+    n_pad: int,
+    narrow_width: int,
+    mid_width: int = 0,
+    fold_singletons: bool = True,
+):
+    """Host-side static plan for build_class_tables from the one sync.
+
+    scalars_host: the 4 ints from group_candidate_rows_meta.
+    width: the (already narrowed) table width W.
+    n_pad: the padded row count of the source tables (upper bound m_pad).
+
+    Returns a dict of STATIC sizes/flags to splat into
+    build_class_tables; pads are quantized (2048/512 multiples) so the
+    compiled-program family stays small.
+    """
+    n_classes, n_wide, n_tail1, n_mid = (int(x) for x in scalars_host)
+    m_pad = min(max(_round_to(n_classes, 2048), 1024), n_pad)
+    split = width > narrow_width and n_wide > 0 and m_pad >= 1024
+    fold = bool(fold_singletons) and n_tail1 > 0 and m_pad >= 1024
+    mid_active = (
+        split and mid_width > narrow_width and width > mid_width and n_mid > 0
+    )
+    nw2 = n_wide - (n_mid if mid_active else 0)
+    wide_active = split and nw2 > 0
+    n_multi = n_classes - (n_wide if split else 0) - (n_tail1 if fold else 0)
+    nm_pad = min(max(_round_to(max(n_multi, 1), 2048), 1024), m_pad)
+    nmid_pad = min(_round_to(n_mid, 512), m_pad) if mid_active else 0
+    nw_pad = min(_round_to(max(nw2, 1), 512), m_pad) if wide_active else 0
+    # With no wide class anywhere, every profile fits narrow_width lanes
+    # even when the raw table is wider (rank-ordered rows: the dropped
+    # columns are all zero).
+    out_width = narrow_width if (width > narrow_width and n_wide == 0) else width
+    return dict(
+        m_pad=m_pad,
+        nm_pad=nm_pad,
+        nmid_pad=nmid_pad,
+        nw_pad=nw_pad,
+        narrow_width=narrow_width,
+        mid_width=mid_width if mid_active else 0,
+        out_width=out_width,
+        split=split,
+        fold=fold,
+    )
 
 
 @partial(
-    jax.jit, static_argnames=("m_pad", "nw_pad", "narrow_width", "split", "out_width")
+    jax.jit,
+    static_argnames=(
+        "m_pad",
+        "nm_pad",
+        "nmid_pad",
+        "nw_pad",
+        "narrow_width",
+        "mid_width",
+        "out_width",
+        "split",
+        "fold",
+        "num_transcripts",
+    ),
 )
 def build_class_tables(
     tbl_tid: jnp.ndarray,
     tbl_score: jnp.ndarray,
     rep_orig: jnp.ndarray,
     weight: jnp.ndarray,
-    n_wide: jnp.ndarray,
+    scalars: jnp.ndarray,
     *,
     m_pad: int,
+    nm_pad: int,
+    nmid_pad: int,
     nw_pad: int,
     narrow_width: int,
+    mid_width: int,
+    out_width: int,
     split: bool,
-    out_width: int = 0,
+    fold: bool,
+    num_transcripts: int = 0,
 ):
-    """Phase 2: materialize the class tables at static sizes.
+    """Phase 2: materialize width-tiered class tables at static sizes.
 
     Gathers the [m_pad, W] class profiles from the ORIGINAL tables via
-    rep_orig (classes past n_classes carry weight 0 and are inert), and
-    when split=True partitions them into a [m_pad, narrow_width] narrow
-    table plus a [nw_pad, W] wide table (wide rows first, stable).
-    Exact: every class's weight lives in exactly one partition; narrow
-    rows truncate only all-zero lanes (profiles are rank-ordered).
+    rep_orig (classes past n_classes carry weight 0 and are inert) and
+    partitions them by candidate count into up to three loop tables —
+    narrow [nm_pad, narrow_width], mid [nmid_pad, mid_width], wide
+    [nw_pad, out_width] — so per-iteration EM lanes track the true pair
+    count.  Tier truncation only ever drops all-zero lanes (profiles
+    are rank-ordered).
+
+    With fold=True, classes with EXACTLY one candidate leave the loop
+    entirely: their E-step posterior is identically 1 (the denominator
+    pi[t]*count is bounded below by pseudocount*1 >> epsilon, and the
+    reference computes num/denom = x/x = 1 exactly,
+    src/isoform_assignment.cpp:38-47), so their per-iteration posterior
+    contribution is the CONSTANT weight vector.  That constant is
+    scattered ONCE here into static_base [T] (int32 — exact), with
+    static_has [T] marking their has-entry bits for the CSV row filter.
+
+    Returns (tables, static_base, static_has); the static pair is
+    (None, None) unless fold.
     """
     sel = jax.lax.slice_in_dim(rep_orig, 0, m_pad)
     tid_c = tbl_tid[sel]  # [m_pad, W]
     score_c = tbl_score[sel]
     w_c = jax.lax.slice_in_dim(weight, 0, m_pad)
-    if not split:
+    if not split and not fold:
         ow = out_width or tbl_tid.shape[1]
-        return ((tid_c[:, :ow], score_c[:, :ow], w_c),)
+        return ((tid_c[:, :ow], score_c[:, :ow], w_c),), None, None
 
     n_cand = jnp.sum(score_c > 0, axis=1)
-    is_wide = (n_cand > narrow_width) & (w_c > 0)
-    order = jnp.argsort(jnp.logical_not(is_wide), stable=True)  # wide first
-    t_s = tid_c[order]
-    s_s = score_c[order]
-    w_s = w_c[order]
-    M = m_pad
-    wide = (
-        jax.lax.slice_in_dim(t_s, 0, nw_pad, axis=0),
-        jax.lax.slice_in_dim(s_s, 0, nw_pad, axis=0),
-        jnp.where(
-            jnp.arange(nw_pad) < n_wide, jax.lax.slice_in_dim(w_s, 0, nw_pad), 0
-        ),
+    live = w_c > 0
+    n_wide = scalars[1]
+    n_tail1 = scalars[2]
+    n_mid = scalars[3]
+    n_classes = scalars[0]
+
+    static_base = static_has = None
+    if fold:
+        is_single = (n_cand == 1) & live
+        sw = jnp.where(is_single, w_c, 0)
+        tid0 = tid_c[:, 0]
+        static_base = jnp.zeros(num_transcripts, jnp.int32).at[tid0].add(sw)
+        static_has = (
+            jnp.zeros(num_transcripts, jnp.int32)
+            .at[tid0]
+            .add(is_single.astype(jnp.int32))
+            > 0
+        )
+
+    mid_active = mid_width > narrow_width and nmid_pad > 0
+    wide_active = nw_pad > 0
+    if split and mid_active:
+        tier = jnp.where(
+            n_cand > mid_width, 0, jnp.where(n_cand > narrow_width, 1, 2)
+        )
+    elif split:
+        tier = jnp.where(n_cand > narrow_width, 0, 2)
+    else:
+        tier = jnp.full(m_pad, 2, jnp.int32)
+    if fold:
+        tier = jnp.where(n_cand <= 1, 3, tier)
+    tier = jnp.where(live, tier, 4).astype(jnp.int32)
+    order = jnp.argsort(tier, stable=True).astype(jnp.int32)
+    ext = max(nm_pad, nmid_pad)
+    order_ext = jnp.concatenate([order, jnp.zeros(ext, jnp.int32)])
+
+    cnt_mid = n_mid if mid_active else jnp.int32(0)
+    cnt_wide = (n_wide if split else jnp.int32(0)) - cnt_mid
+    start_mid = cnt_wide
+    start_multi = n_wide if split else jnp.int32(0)
+    cnt_multi = (
+        n_classes
+        - (n_wide if split else jnp.int32(0))
+        - (n_tail1 if fold else jnp.int32(0))
     )
-    narrow = (
-        t_s[:, :narrow_width],
-        s_s[:, :narrow_width],
-        jnp.where(jnp.arange(M) < n_wide, 0, w_s),
-    )
-    return (narrow, wide)
+
+    def _tier_table(idx, count, w_lanes, size):
+        t = tid_c[idx][:, :w_lanes]
+        s = score_c[idx][:, :w_lanes]
+        w = jnp.where(jnp.arange(size) < count, w_c[idx], 0)
+        return (t, s, w)
+
+    tables = []
+    if wide_active:
+        tables.append(
+            _tier_table(
+                jax.lax.slice_in_dim(order, 0, nw_pad), cnt_wide, out_width, nw_pad
+            )
+        )
+    if mid_active:
+        idx_m = jax.lax.dynamic_slice_in_dim(order_ext, start_mid, nmid_pad)
+        tables.append(_tier_table(idx_m, cnt_mid, mid_width, nmid_pad))
+    narrow_w = narrow_width if split else out_width
+    idx_n = jax.lax.dynamic_slice_in_dim(order_ext, start_multi, nm_pad)
+    tables.append(_tier_table(idx_n, cnt_multi, narrow_w, nm_pad))
+    return tuple(tables), static_base, static_has
 
 
 @jax.jit

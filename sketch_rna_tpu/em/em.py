@@ -279,6 +279,7 @@ def run_em_partitioned(
     init_pi: Optional[jnp.ndarray] = None,
     start_iteration: int = 0,
     use_mxu: bool = False,
+    static_base: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """EM over several width-partitioned class tables at once.
 
@@ -287,6 +288,12 @@ def run_em_partitioned(
     [T] vector per iteration.  Splitting classes into narrow and wide
     tables keeps the scatter lane count near the true pair count instead
     of num_rows x max_width.
+
+    static_base (optional [T] int/float): iteration-invariant posterior
+    contribution of folded single-candidate classes (their posterior is
+    identically 1 — see em/classes.py build_class_tables).  It seeds
+    each iteration's posterior sum, BEFORE the data-axis psum (the base
+    is shard-local, so the psum totals it across shards exactly once).
 
     init_pi/start_iteration resume from an EM checkpoint; the returned
     (pi, iterations, converged) triple lets segmented runs (periodic
@@ -297,6 +304,7 @@ def run_em_partitioned(
     T = num_transcripts
     dt = jnp.dtype(dtype)
     tp = _round_up(max(T, 1), _MXU_LANE)
+    base = None if static_base is None else static_base.astype(dt)
     prepped = []
     for tid, score, weight in tables:
         sc = score.astype(dt)
@@ -320,7 +328,10 @@ def run_em_partitioned(
     def e_step(pi):
         if use_mxu:
             pi2d = jnp.pad(pi, (0, tp - T)).reshape(tp // _MXU_LANE, _MXU_LANE)
-            ps2d = jnp.zeros((tp // _MXU_LANE, _MXU_LANE), dt)
+            if base is None:
+                ps2d = jnp.zeros((tp // _MXU_LANE, _MXU_LANE), dt)
+            else:
+                ps2d = jnp.pad(base, (0, tp - T)).reshape(tp // _MXU_LANE, _MXU_LANE)
             for tid, sc, wgt, (oh_row, oh_lane) in prepped:
                 w = _mxu_gather(pi2d, oh_row, oh_lane).reshape(sc.shape) * sc
                 denom = jnp.sum(w, axis=1, keepdims=True)
@@ -332,7 +343,7 @@ def run_em_partitioned(
                     post = post * wgt
                 ps2d = ps2d + _mxu_scatter2d(post.reshape(-1), oh_row, oh_lane)
             return _psum_maybe(ps2d.reshape(tp)[:T], axis_name)
-        ps = jnp.zeros(T, dt)
+        ps = jnp.zeros(T, dt) if base is None else base
         for tid, sc, wgt, _oh in prepped:
             w = pi[tid] * sc
             denom = jnp.sum(w, axis=1, keepdims=True)
@@ -386,9 +397,16 @@ def run_em_assign_partitioned(
     dtype: str = "float32",
     axis_name: Optional[str] = None,
     use_mxu: bool = False,
+    static_base: Optional[jnp.ndarray] = None,
+    static_has: Optional[jnp.ndarray] = None,
 ):
     """EM + final soft assignment as ONE device program (one dispatch,
     zero host syncs between the loop and the assignment pass).
+
+    static_base/static_has carry the folded single-candidate classes
+    (see run_em_partitioned / em/classes.py build_class_tables); the
+    base seeds both the per-iteration posterior sums and the final
+    weighted counts (a singleton's assignment weight is also exactly 1).
 
     Returns (pi, iters, weighted, has_entry) — the complete quant tail.
     """
@@ -403,6 +421,7 @@ def run_em_assign_partitioned(
         dtype=dtype,
         axis_name=axis_name,
         use_mxu=use_mxu,
+        static_base=static_base,
     )
     weighted, has_entry = assign_reads_partitioned(
         tables,
@@ -411,6 +430,8 @@ def run_em_assign_partitioned(
         dtype=dtype,
         axis_name=axis_name,
         use_mxu=use_mxu,
+        static_base=static_base,
+        static_has=static_has,
     )
     return pi, iters, weighted, has_entry
 
@@ -426,8 +447,16 @@ def assign_reads_partitioned(
     dtype: str = "float32",
     axis_name: Optional[str] = None,
     use_mxu: bool = False,
+    static_base: Optional[jnp.ndarray] = None,
+    static_has: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Partitioned-table soft assignment (see run_em_partitioned).
+
+    static_base/static_has (optional [T]): folded single-candidate
+    classes (em/classes.py).  Their assignment probability is exactly 1
+    (w = pi*count equals its own denominator, and pi > 0 always), so the
+    weighted counts gain the constant base and has_entry ORs their mask.
+    Added shard-locally, BEFORE the data-axis psum.
 
     With use_mxu the weighted-count and has-entry scatters run as one-hot
     MXU matmuls; the has-entry accumulator is an exact small-integer f32
@@ -471,6 +500,10 @@ def assign_reads_partitioned(
     if use_mxu:
         weighted = w2d.reshape(tp)[:T]
         has_entry = h2d.reshape(tp)[:T].astype(jnp.int32)
+    if static_base is not None:
+        weighted = weighted + static_base.astype(dt)
+    if static_has is not None:
+        has_entry = has_entry + static_has.astype(jnp.int32)
     weighted = _psum_maybe(weighted, axis_name)
     has_entry = _psum_maybe(has_entry, axis_name)
     return weighted, has_entry > 0

@@ -45,6 +45,7 @@ from sketch_rna_tpu.match.rowmatch import (
 from sketch_rna_tpu.em.classes import (
     build_class_tables,
     group_candidate_rows_meta,
+    plan_class_tables,
 )
 from sketch_rna_tpu.hash.pallas_hash import sketch_batch_pallas
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
@@ -584,6 +585,29 @@ def quantify(
 # rare enough that the wide table stays small — measured on the bench
 # transcriptome: 19k classes, ~1% wider than 4).
 _EM_NARROW_WIDTH = 4
+# Middle tier bound: classes with 5-8 candidates get their own [*, 8]
+# table instead of riding the full-width wide table (measured on the
+# GENCODE-scale multi-k config: 89% of >4-candidate classes fit 8 lanes,
+# cutting wide-table EM lanes ~4x).
+_EM_MID_WIDTH = 8
+
+
+def _fold_ok(config: QuantConfig, num_transcripts: int) -> bool:
+    """Is folding single-candidate classes out of the EM loop exact here?
+
+    A folded singleton assumes its E-step denominator pi[t]*count always
+    exceeds em_epsilon (posterior exactly 1, src/isoform_assignment.cpp:
+    38-47).  Iteration 1 sees pi0 = 1/T, so denom >= 1/T — covered by
+    T * epsilon < 1.  Every later pi[t] >= pseudocount (> epsilon when
+    epsilon < pseudocount), or, with pseudocount == 0, >= the folded
+    base itself (>= 1, since the base seeds the posterior sum).
+    """
+    if not config.em_fold_singletons or num_transcripts <= 0:
+        return False
+    eps = config.em_epsilon
+    if num_transcripts * eps >= 1.0:
+        return False
+    return eps < config.pseudocount or config.pseudocount == 0.0
 
 
 def _pow2ceil(n: int) -> int:
@@ -594,22 +618,29 @@ def _round_up(n: int, mult: int) -> int:
     return ((int(n) + mult - 1) // mult) * mult
 
 
-def _em_tables(tbl_tid, tbl_score, config: QuantConfig, row_weight=None):
-    """Prepare the EM working set: equivalence classes (default) plus a
-    narrow/wide width partition.
+def _em_tables(
+    tbl_tid, tbl_score, config: QuantConfig, row_weight=None, num_transcripts: int = 0
+):
+    """Prepare the EM working set: equivalence classes (default) with a
+    narrow/mid/wide width partition and the singleton fold.
 
     Most classes have a handful of candidates while the table width W is
-    forced by the most ambiguous read; splitting into a [M, 8] narrow
-    table and a [~n_wide, W] wide table keeps the per-iteration scatter
+    forced by the most ambiguous read; tiering into [*, 4] narrow,
+    [*, 8] mid and [*, W] wide tables keeps the per-iteration scatter
     lanes near the true pair count.  Exact: every class carries weight in
-    exactly one partition (weight 0 rows are inert), and narrow rows
+    exactly one partition (weight 0 rows are inert), and tier rows
     truncate only all-zero lanes (class rows are rank-ordered).
+    Single-candidate classes leave the loop entirely when _fold_ok
+    (their posterior is identically 1; em/classes.py).
 
     The class path runs as two device programs with ONE host sync
     between them (em/classes.py two-phase API): metadata (sort of [N]
-    row hashes) -> sync (n_classes, n_wide) -> class-table gather +
-    partition at static [M_pad]/[nw_pad] sizes.  No [N, W] gather or
-    scatter ever materializes.
+    row hashes) -> sync of the 4 class scalars -> class-table gather +
+    tier partition at static sizes.  No [N, W] gather or scatter ever
+    materializes.
+
+    Returns (tables, static_base, static_has); the static pair is
+    (None, None) unless the fold is active.
     """
     N, W = tbl_tid.shape
     if config.em_equivalence_classes and N >= 1024:
@@ -623,38 +654,45 @@ def _em_tables(tbl_tid, tbl_score, config: QuantConfig, row_weight=None):
             if row_weight is not None:
                 row_weight = jnp.pad(row_weight, (0, N_pad - N))
         rep, weight, scalars = group_candidate_rows_meta(
-            tbl_tid, tbl_score, narrow_width=_EM_NARROW_WIDTH, row_weight=row_weight
+            tbl_tid,
+            tbl_score,
+            narrow_width=_EM_NARROW_WIDTH,
+            row_weight=row_weight,
+            mid_width=_EM_MID_WIDTH,
         )
         sc = np.asarray(scalars)  # the one host sync
-        n_classes, n_wide = int(sc[0]), int(sc[1])
-        M_pad = min(max(_round_up(n_classes, 2048), 1024), N_pad)
-        split = W > _EM_NARROW_WIDTH and n_wide > 0 and M_pad >= 1024
-        nw_pad = min(_round_up(max(n_wide, 1), 512), M_pad) if split else 1
-        out_w = _EM_NARROW_WIDTH if (W > _EM_NARROW_WIDTH and n_wide == 0) else W
-        tables = build_class_tables(
+        plan = plan_class_tables(
+            sc,
+            width=W,
+            n_pad=N_pad,
+            narrow_width=_EM_NARROW_WIDTH,
+            mid_width=_EM_MID_WIDTH,
+            fold_singletons=_fold_ok(config, num_transcripts),
+        )
+        tables, static_base, static_has = build_class_tables(
             tbl_tid,
             tbl_score,
             rep,
             weight,
-            scalars[1],
-            m_pad=M_pad,
-            nw_pad=nw_pad,
-            narrow_width=_EM_NARROW_WIDTH,
-            split=split,
-            out_width=out_w,
+            scalars,
+            num_transcripts=num_transcripts,
+            **plan,
         )
         log.info(
-            "equivalence classes: %d reads -> %d classes (%d wide)",
+            "equivalence classes: %d reads -> %d classes "
+            "(%d wide, %d mid, %d folded singletons)",
             N,
-            n_classes,
-            n_wide,
+            int(sc[0]),
+            int(sc[1]) - (int(sc[3]) if plan["mid_width"] else 0),
+            int(sc[3]) if plan["mid_width"] else 0,
+            int(sc[2]) if plan["fold"] else 0,
         )
-        return tables
+        return tables, static_base, static_has
 
     tid, score, weight = tbl_tid, tbl_score, row_weight
     M, W = tid.shape
     if W <= _EM_NARROW_WIDTH or M < 1024:
-        return ((tid, score, weight),)
+        return ((tid, score, weight),), None, None
     if weight is None:
         weight = jnp.ones(M, jnp.int32)
     n_cand = jnp.sum(score > 0, axis=1)
@@ -667,7 +705,7 @@ def _em_tables(tbl_tid, tbl_score, config: QuantConfig, row_weight=None):
                 jax.lax.slice_in_dim(score, 0, _EM_NARROW_WIDTH, axis=1),
                 weight,
             ),
-        )
+        ), None, None
     order = jnp.argsort(jnp.logical_not(is_wide), stable=True)  # wide rows first
     t_s = tid[order]
     s_s = score[order]
@@ -684,7 +722,7 @@ def _em_tables(tbl_tid, tbl_score, config: QuantConfig, row_weight=None):
         jnp.where(jnp.arange(M) < n_wide, 0, w_s),
     )
     log.info("EM width partition: %d wide classes of %d (W=%d)", n_wide, M, W)
-    return (narrow, wide)
+    return (narrow, wide), None, None
 
 
 def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig, timer):
@@ -783,7 +821,13 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
     return tbl_tid, tbl_score, ncm, stats
 
 
-def _run_em(tables, num_reads: int, num_transcripts: int, config: QuantConfig):
+def _run_em(
+    tables,
+    num_reads: int,
+    num_transcripts: int,
+    config: QuantConfig,
+    static_base=None,
+):
     """Run the partitioned EM, with optional mid-run checkpoint/resume.
 
     With config.em_checkpoint set, the iteration budget is split into
@@ -805,6 +849,7 @@ def _run_em(tables, num_reads: int, num_transcripts: int, config: QuantConfig):
             sum(t[0].size for t in tables),
             config.em_dtype,
         ),
+        static_base=static_base,
     )
     R_dev = jnp.asarray(num_reads, jnp.int32)
     if not config.em_checkpoint:
@@ -877,7 +922,10 @@ def _quantify_fused(
                 tbl_tid = jnp.pad(tbl_tid, ((0, N_pad - N), (0, 0)))
                 tbl_score = jnp.pad(tbl_score, ((0, N_pad - N), (0, 0)))
             rep, weight, scalars = group_candidate_rows_meta(
-                tbl_tid, tbl_score, narrow_width=_EM_NARROW_WIDTH
+                tbl_tid,
+                tbl_score,
+                narrow_width=_EM_NARROW_WIDTH,
+                mid_width=_EM_MID_WIDTH,
             )
             sync = np.asarray(
                 jnp.concatenate(
@@ -916,36 +964,36 @@ def _quantify_fused(
 
     with timer.phase("classes"):
         if use_classes:
-            n_classes, n_wide = int(sync[2]), int(sync[3])
-            N_pad = tbl_tid.shape[0]
-            M_pad = min(max(_round_up(n_classes, 2048), 1024), N_pad)
-            split = W > _EM_NARROW_WIDTH and n_wide > 0 and M_pad >= 1024
-            nw_pad = min(_round_up(max(n_wide, 1), 512), M_pad) if split else 1
-            out_w = (
-                _EM_NARROW_WIDTH
-                if (W > _EM_NARROW_WIDTH and n_wide == 0)
-                else W
+            plan = plan_class_tables(
+                sync[2:6],
+                width=W,
+                n_pad=tbl_tid.shape[0],
+                narrow_width=_EM_NARROW_WIDTH,
+                mid_width=_EM_MID_WIDTH,
+                fold_singletons=_fold_ok(config, index.num_transcripts),
             )
-            tables = build_class_tables(
+            tables, static_base, static_has = build_class_tables(
                 tbl_tid,
                 tbl_score,
                 rep,
                 weight,
-                scalars[1],
-                m_pad=M_pad,
-                nw_pad=nw_pad,
-                narrow_width=_EM_NARROW_WIDTH,
-                split=split,
-                out_width=out_w,
+                scalars,
+                num_transcripts=index.num_transcripts,
+                **plan,
             )
             log.info(
-                "equivalence classes: %d reads -> %d classes (%d wide)",
+                "equivalence classes: %d reads -> %d classes "
+                "(%d wide, %d mid, %d folded singletons)",
                 N,
-                n_classes,
-                n_wide,
+                int(sync[2]),
+                int(sync[3]) - (int(sync[5]) if plan["mid_width"] else 0),
+                int(sync[5]) if plan["mid_width"] else 0,
+                int(sync[4]) if plan["fold"] else 0,
             )
         else:
-            tables = _em_tables(tbl_tid, tbl_score, config)
+            tables, static_base, static_has = _em_tables(
+                tbl_tid, tbl_score, config, num_transcripts=index.num_transcripts
+            )
 
     with timer.phase("em_assign"):
         use_mxu = resolve_em_mxu(
@@ -956,7 +1004,11 @@ def _quantify_fused(
         )
         if config.em_checkpoint:
             pi, iters = _run_em(
-                tables, packed.num_reads, index.num_transcripts, config
+                tables,
+                packed.num_reads,
+                index.num_transcripts,
+                config,
+                static_base=static_base,
             )
             weighted, has_entry = assign_reads_partitioned(
                 tables,
@@ -964,6 +1016,8 @@ def _quantify_fused(
                 num_transcripts=index.num_transcripts,
                 dtype=config.em_dtype,
                 use_mxu=use_mxu,
+                static_base=static_base,
+                static_has=static_has,
             )
         else:
             pi, iters, weighted, has_entry = run_em_assign_partitioned(
@@ -976,6 +1030,8 @@ def _quantify_fused(
                 epsilon=config.em_epsilon,
                 dtype=config.em_dtype,
                 use_mxu=use_mxu,
+                static_base=static_base,
+                static_has=static_has,
             )
     with timer.phase("fetch"):
         # Bundle every device->host readback into ONE transfer: each

@@ -305,16 +305,17 @@ def quantify_streamed(
     W = max(int(ncm_all.max()), 1)
     W = min(1 << (W - 1).bit_length(), C)
     with timer.phase("classes"):
-        tables = _em_tables(
+        tables, static_base, static_has = _em_tables(
             jax.lax.slice_in_dim(buf_tid, 0, W, axis=1),
             jax.lax.slice_in_dim(buf_score, 0, W, axis=1),
             config,
             row_weight=buf_weight,
+            num_transcripts=T,
         )
         jax.block_until_ready(tables[0][0])
 
     with timer.phase("em"):
-        pi, iters = _run_em(tables, R, T, config)
+        pi, iters = _run_em(tables, R, T, config, static_base=static_base)
         jax.block_until_ready(pi)
     with timer.phase("assignment"):
         weighted, has_entry = assign_reads_partitioned(
@@ -322,6 +323,8 @@ def quantify_streamed(
             pi,
             num_transcripts=T,
             dtype=config.em_dtype,
+            static_base=static_base,
+            static_has=static_has,
         )
         jax.block_until_ready(weighted)
     return QuantResult(

@@ -91,3 +91,52 @@ def test_width_partitioned_em_equals_per_read():
     np.testing.assert_allclose(on.pi, off.pi, rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(on.weighted_counts, off.weighted_counts, rtol=1e-12, atol=1e-13)
     np.testing.assert_array_equal(on.has_entry, off.has_entry)
+
+
+def test_singleton_fold_and_mid_tier_exact():
+    """Folding single-candidate classes out of the EM loop and the
+    narrow/mid/wide tier partition must reproduce the unfolded (and
+    per-read) results exactly: a singleton's E-step posterior is
+    identically 1, so its contribution is iteration-invariant
+    (em/classes.py build_class_tables)."""
+    rng = np.random.default_rng(999)
+    # Isoform families of size 1 (singleton profiles), ~6 (mid tier) and
+    # ~16 (wide tier) so all three partitions plus the fold engage.
+    base6 = rng.integers(0, 4, size=400).astype(np.uint8)
+    base16 = rng.integers(0, 4, size=500).astype(np.uint8)
+    seqs = [rng.integers(0, 4, size=300).astype(np.uint8) for _ in range(8)]
+    for _ in range(6):
+        a = int(rng.integers(0, 100))
+        seqs.append(np.concatenate([base6[:a], base6[a + 20:],
+                                    rng.integers(0, 4, size=30).astype(np.uint8)]))
+    for _ in range(16):
+        a = int(rng.integers(0, 150))
+        b = int(rng.integers(a, 450))
+        seqs.append(np.concatenate([base16[:a], base16[b:],
+                                    rng.integers(0, 4, size=40).astype(np.uint8)]))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(kmer_lengths=(31,), batch_size=512, max_read_len=128,
+                      em_dtype="float64", candidate_capacity=32)
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=500, read_len=100, error_rate=0.0)
+             if r.size >= 31] * 4
+    reads = reads[:1900]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    fold = quantify(idx, packed, cfg)  # fold + tiers on by default
+    nofold = quantify(idx, packed, dataclasses.replace(cfg, em_fold_singletons=False))
+    perread = quantify(
+        idx, packed, dataclasses.replace(cfg, em_equivalence_classes=False)
+    )
+    for other in (nofold, perread):
+        assert fold.em_iterations == other.em_iterations
+        np.testing.assert_allclose(fold.pi, other.pi, rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(
+            fold.weighted_counts, other.weighted_counts, rtol=1e-12, atol=1e-13
+        )
+        np.testing.assert_array_equal(fold.has_entry, other.has_entry)
