@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sketch_rna_tpu.em.classes import group_candidate_rows_meta
+from sketch_rna_tpu.em.classes import group_candidate_rows_meta, tier_partition
 from sketch_rna_tpu.em.em import run_em_assign_partitioned
 from sketch_rna_tpu.match.lookup import lookup_postings
 from sketch_rna_tpu.match.rowmatch import (
@@ -158,6 +158,8 @@ def _match_chunk_sharded(
         "match_tiers",
         "tier_widths",
         "m_cap",
+        "narrow_width",
+        "mid_width",
     ),
 )
 def stream_sharded_scan(
@@ -178,12 +180,18 @@ def stream_sharded_scan(
     match_tiers: bool = True,
     tier_widths: Tuple[int, int] = (16, 64),
     m_cap: int = 1 << 17,
+    narrow_width: int = 4,
+    mid_width: int = 8,
 ):
     """Program 1: chunked match into per-device class buffers.
 
     Returns (buf_tid [dp*m_cap, C] data-sharded, buf_score, buf_weight,
-    scalars [5] replicated: (ncm, fill_max, pretail, spilled, class_ov),
-    dropped [K], sk_ov [K]).
+    scalars [11] replicated, dropped [K], sk_ov [K]).  scalars =
+    (ncm, fill_max, pretail, spilled, class_ov) plus the mesh-max tier
+    counts of the final compacted buffers — (wide_all, wide_excl_mid,
+    mid, tail1, multi_fold, multi_nofold) with tiers bounded by
+    narrow_width/mid_width — from which the host sizes program 2's
+    static per-shard tier partition (pipeline.quantify_sharded).
     """
     K = len(kmer_lengths)
     C = candidate_capacity
@@ -281,6 +289,21 @@ def stream_sharded_scan(
         def _pmax2(x):
             return jax.lax.pmax(jax.lax.pmax(x, "index"), "data")
 
+        # Per-shard tier counts of the compacted classes (n_cand is
+        # width-independent: columns past every real candidate are 0).
+        # Each derived count is computed per shard THEN maxed, so the
+        # host's static pads bound every shard's true tier size.
+        n_cand = jnp.sum(bs > 0, axis=1)
+        live = bw > 0
+
+        def _cnt(m):
+            return jnp.sum(m & live, dtype=jnp.int32)
+
+        n_cls = _cnt(jnp.ones_like(live))
+        wide_all = _cnt(n_cand > narrow_width)
+        midc = _cnt((n_cand > narrow_width) & (n_cand <= mid_width))
+        tail1 = _cnt(n_cand <= 1)
+        multi_nofold = n_cls - wide_all
         scalars = jnp.stack(
             [
                 _pmax2(ncm),
@@ -290,6 +313,12 @@ def stream_sharded_scan(
                 # index (identical), sum over data.
                 jax.lax.psum(jax.lax.pmax(spilled, "index"), "data"),
                 jax.lax.psum(jax.lax.pmax(class_ov, "index"), "data"),
+                _pmax2(wide_all),
+                _pmax2(wide_all - midc),
+                _pmax2(midc),
+                _pmax2(tail1),
+                _pmax2(multi_nofold - tail1),
+                _pmax2(multi_nofold),
             ]
         )
         dropped = _psum2(dropped)
@@ -329,6 +358,13 @@ def stream_sharded_scan(
         "em_epsilon",
         "em_dtype",
         "use_mxu",
+        "nm_pad",
+        "nmid_pad",
+        "nw_pad",
+        "narrow_width",
+        "mid_width",
+        "split",
+        "fold",
     ),
 )
 def em_assign_sharded(
@@ -347,11 +383,24 @@ def em_assign_sharded(
     em_epsilon: float = 1e-10,
     em_dtype: str = "float32",
     use_mxu: bool = False,
+    nm_pad: int = 0,
+    nmid_pad: int = 0,
+    nw_pad: int = 0,
+    narrow_width: int = 4,
+    mid_width: int = 8,
+    split: bool = False,
+    fold: bool = False,
 ):
     """Program 2: EM + assignment over the compacted class buffers.
 
-    m_pad/width come from the one host sync of program 1's scalars; the
-    per-device table is [m_pad, width] with weight-0 rows inert."""
+    m_pad/width and the tier pads come from the one host sync of
+    program 1's scalars (mesh-max counts, so every shard's tiers fit);
+    each device tiers ITS OWN [m_pad, width] buffer with
+    em.classes.tier_partition — narrow/mid/wide loop tables plus the
+    folded-singleton static base — then the EM/assignment psum over the
+    data axis totals the per-shard bases exactly once.  With
+    split=fold=False (nm_pad=0) this degrades to the single flat table.
+    Weight-0 rows are inert throughout."""
 
     def body(bt, bs, bw, R):
         t = jax.lax.slice_in_dim(
@@ -361,8 +410,25 @@ def em_assign_sharded(
             jax.lax.slice_in_dim(bs, 0, m_pad, axis=0), 0, width, axis=1
         )
         w = jax.lax.slice_in_dim(bw, 0, m_pad)
+        if split or fold:
+            tables, static_base, static_has = tier_partition(
+                t,
+                sc,
+                w,
+                nm_pad=nm_pad,
+                nmid_pad=nmid_pad,
+                nw_pad=nw_pad,
+                narrow_width=narrow_width,
+                mid_width=mid_width,
+                out_width=width,
+                split=split,
+                fold=fold,
+                num_transcripts=num_transcripts,
+            )
+        else:
+            tables, static_base, static_has = ((t, sc, w),), None, None
         pi, iters, weighted, has_entry = run_em_assign_partitioned(
-            ((t, sc, w),),
+            tables,
             R,
             num_transcripts=num_transcripts,
             max_iterations=em_max_iterations,
@@ -372,6 +438,8 @@ def em_assign_sharded(
             dtype=em_dtype,
             axis_name="data",
             use_mxu=use_mxu,
+            static_base=static_base,
+            static_has=static_has,
         )
         return pi, iters, weighted, has_entry
 

@@ -212,7 +212,6 @@ def build_class_tables(
     tbl_score: jnp.ndarray,
     rep_orig: jnp.ndarray,
     weight: jnp.ndarray,
-    scalars: jnp.ndarray,
     *,
     m_pad: int,
     nm_pad: int,
@@ -251,16 +250,53 @@ def build_class_tables(
     tid_c = tbl_tid[sel]  # [m_pad, W]
     score_c = tbl_score[sel]
     w_c = jax.lax.slice_in_dim(weight, 0, m_pad)
+    return tier_partition(
+        tid_c,
+        score_c,
+        w_c,
+        nm_pad=nm_pad,
+        nmid_pad=nmid_pad,
+        nw_pad=nw_pad,
+        narrow_width=narrow_width,
+        mid_width=mid_width,
+        out_width=out_width,
+        split=split,
+        fold=fold,
+        num_transcripts=num_transcripts,
+    )
+
+
+def tier_partition(
+    tid_c: jnp.ndarray,  # [m_pad, W] class profiles (rank-ordered)
+    score_c: jnp.ndarray,
+    w_c: jnp.ndarray,  # [m_pad] multiplicities (0 = dead row)
+    *,
+    nm_pad: int,
+    nmid_pad: int,
+    nw_pad: int,
+    narrow_width: int,
+    mid_width: int,
+    out_width: int,
+    split: bool,
+    fold: bool,
+    num_transcripts: int = 0,
+):
+    """Width-tier an ALREADY-materialized class table (the partition half
+    of build_class_tables; also called per-shard inside the sharded EM,
+    dist/quant_stream.em_assign_sharded, where each device tiers its
+    local buffer at mesh-max static sizes).
+
+    Per-tier counts are recomputed locally from (score_c, w_c) — exact,
+    and self-contained so shards with differing fills share one program.
+    Returns (tables, static_base, static_has) as build_class_tables.
+    """
+    m_pad = tid_c.shape[0]
     if not split and not fold:
-        ow = out_width or tbl_tid.shape[1]
+        ow = out_width or tid_c.shape[1]
         return ((tid_c[:, :ow], score_c[:, :ow], w_c),), None, None
 
     n_cand = jnp.sum(score_c > 0, axis=1)
     live = w_c > 0
-    n_wide = scalars[1]
-    n_tail1 = scalars[2]
-    n_mid = scalars[3]
-    n_classes = scalars[0]
 
     static_base = static_has = None
     if fold:
@@ -292,15 +328,11 @@ def build_class_tables(
     ext = max(nm_pad, nmid_pad)
     order_ext = jnp.concatenate([order, jnp.zeros(ext, jnp.int32)])
 
-    cnt_mid = n_mid if mid_active else jnp.int32(0)
-    cnt_wide = (n_wide if split else jnp.int32(0)) - cnt_mid
+    cnt_wide = jnp.sum((tier == 0).astype(jnp.int32))
+    cnt_mid = jnp.sum((tier == 1).astype(jnp.int32))
+    cnt_multi = jnp.sum((tier == 2).astype(jnp.int32))
     start_mid = cnt_wide
-    start_multi = n_wide if split else jnp.int32(0)
-    cnt_multi = (
-        n_classes
-        - (n_wide if split else jnp.int32(0))
-        - (n_tail1 if fold else jnp.int32(0))
-    )
+    start_multi = cnt_wide + cnt_mid
 
     def _tier_table(idx, count, w_lanes, size):
         t = tid_c[idx][:, :w_lanes]

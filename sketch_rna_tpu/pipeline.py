@@ -674,7 +674,6 @@ def _em_tables(
             tbl_score,
             rep,
             weight,
-            scalars,
             num_transcripts=num_transcripts,
             **plan,
         )
@@ -977,7 +976,6 @@ def _quantify_fused(
                 tbl_score,
                 rep,
                 weight,
-                scalars,
                 num_transcripts=index.num_transcripts,
                 **plan,
             )
@@ -1168,6 +1166,8 @@ def quantify_sharded(
             match_tiers=tiers,
             tier_widths=widths,
             m_cap=m_cap,
+            narrow_width=_EM_NARROW_WIDTH,
+            mid_width=_EM_MID_WIDTH,
         )
 
     bt, bs, bw, scalars, dropped, sk_ov = run(config.match_tiers)
@@ -1184,6 +1184,23 @@ def quantify_sharded(
     W = min(1 << (W - 1).bit_length(), config.candidate_capacity)
     m_pad = min(max(_round_up(int(sc[1]), 1024), 1024), m_cap)
 
+    # Static tier plan for program 2 from the MESH-MAX per-shard counts
+    # (sc[5:11], see stream_sharded_scan) — each derived count is maxed
+    # per shard, so every shard's tiers fit these pads; mirrors
+    # em/classes.plan_class_tables for the per-shard setting.
+    wide_all, wide_excl, midc, tail1 = (int(x) for x in sc[5:9])
+    multi_fold, multi_nofold = int(sc[9]), int(sc[10])
+    fold = _fold_ok(config, index.num_transcripts) and tail1 > 0 and m_pad >= 1024
+    split = W > _EM_NARROW_WIDTH and wide_all > 0 and m_pad >= 1024
+    mid_active = split and W > _EM_MID_WIDTH and midc > 0
+    nw2 = wide_excl if mid_active else wide_all
+    n_multi = multi_fold if fold else multi_nofold
+    nm_pad = min(max(_round_up(max(n_multi, 1), 2048), 1024), m_pad)
+    nmid_pad = min(_round_up(midc, 512), m_pad) if mid_active else 0
+    nw_pad = min(_round_up(max(nw2, 1), 512), m_pad) if (split and nw2 > 0) else 0
+    total_lanes = nm_pad * _EM_NARROW_WIDTH + nmid_pad * _EM_MID_WIDTH + nw_pad * W \
+        if (split or fold) else m_pad * W
+
     pi, iters, weighted, has_entry = em_assign_sharded(
         bt,
         bs,
@@ -1199,8 +1216,15 @@ def quantify_sharded(
         em_epsilon=config.em_epsilon,
         em_dtype=config.em_dtype,
         use_mxu=resolve_em_mxu(
-            config.em_mxu, index.num_transcripts, m_pad * W, config.em_dtype
+            config.em_mxu, index.num_transcripts, total_lanes, config.em_dtype
         ),
+        nm_pad=nm_pad,
+        nmid_pad=nmid_pad,
+        nw_pad=nw_pad,
+        narrow_width=_EM_NARROW_WIDTH,
+        mid_width=_EM_MID_WIDTH,
+        split=split,
+        fold=fold,
     )
     host_stats = {
         "expand_dropped": int(np.asarray(dropped).sum()),
