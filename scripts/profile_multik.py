@@ -8,6 +8,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,7 +27,12 @@ from sketch_rna_tpu.match.rowmatch import (
     row_expand_from_runs,
     tier_plan,
 )
-from sketch_rna_tpu.pipeline import _device_index, _event_totals_sorted, sketch_match_step
+from sketch_rna_tpu.pipeline import (
+    _device_index,
+    _event_totals_sorted,
+    _probe_width_from,
+    sketch_match_step,
+)
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
 from sketch_rna_tpu.utils.synth import sample_reads_device, synth_transcriptome
 
@@ -63,33 +70,38 @@ def main():
     codes, lengths = sample_reads_device(seqs, B, 150, L, 5)
     jax.block_until_ready((codes, lengths))
 
-    st = np.asarray(
+    sample = np.asarray(
         _event_totals_sorted(
             codes, lengths, bpacked,
             kmer_lengths=ks, sketch_fraction=cfg.sketch_fraction,
             sketch_caps=caps, bucket_meta=metas,
         )
     )
+    st, sc = sample[: len(sample) // 2], sample[len(sample) // 2 :]
     widths = calibrate_tier_widths(st, B, cfg.expand_per_read)
     plan = tier_plan(B, cfg.expand_per_read, widths)
-    print(f"tier widths={widths} plan={plan}", flush=True)
+    probe_w = _probe_width_from(sc, caps)
+    print(f"tier widths={widths} plan={plan} probe_width={probe_w}", flush=True)
 
     for ki, k in enumerate(ks):
         timeit(f"sketch k={k}", jax.jit(
             lambda c, l, ki=ki, k=k: sketch_batch(c, l, k, cfg.sketch_fraction, caps[ki])
         ), codes, lengths)
 
+    # NOTE: big index arrays must be jit ARGUMENTS, never closed over —
+    # closed-over concrete arrays become HLO literals and XLA spends tens
+    # of minutes constant-folding 478MB tables.
     @jax.jit
-    def f_probe(c, l):
+    def f_probe(c, l, bp):
         out = []
         for ki, k in enumerate(ks):
             h, m, _ = sketch_batch(c, l, k, cfg.sketch_fraction, caps[ki])
             shift, mb = metas[ki]
-            out.append(bucket_lookup(h, m, bpacked[ki], shift=shift, mb=mb))
+            out.append(bucket_lookup(h, m, bp[ki], shift=shift, mb=mb))
         return out
 
-    timeit("sketch+lookup (all k)", f_probe, codes, lengths)
-    runs = jax.block_until_ready(f_probe(codes, lengths))
+    timeit("sketch+lookup (all k)", f_probe, codes, lengths, bpacked)
+    runs = jax.block_until_ready(f_probe(codes, lengths, bpacked))
     starts = [r[0] for r in runs]
     lens = [r[1] for r in runs]
 
@@ -113,16 +125,17 @@ def main():
         s_t = [jax.lax.slice_in_dim(s, row0, row0 + rows, axis=0) for s in starts_p]
         l_t = [jax.lax.slice_in_dim(l, row0, row0 + rows, axis=0) for l in lens_p]
 
-        @jax.jit
-        def f_exp(s_t=tuple(s_t), l_t=tuple(l_t), w=w):
+        @partial(jax.jit, static_argnames=("w",))
+        def f_exp(s_t, l_t, po, w):
             return [
-                row_expand_from_runs(s_t[ki], l_t[ki], postings[ki],
+                row_expand_from_runs(s_t[ki], l_t[ki], po[ki],
                                      events_per_read=w, k_index=ki, num_k=K)[0]
                 for ki in range(K)
             ]
 
-        timeit(f"tier{t_i} [{rows}x{w}] expand (all k)", f_exp)
-        keys = jax.block_until_ready(f_exp())
+        fw = partial(f_exp, w=w)
+        timeit(f"tier{t_i} [{rows}x{w}] expand (all k)", fw, tuple(s_t), tuple(l_t), postings)
+        keys = jax.block_until_ready(fw(tuple(s_t), tuple(l_t), postings))
         keym = jnp.concatenate(keys, axis=1) if K > 1 else keys[0]
 
         @jax.jit
@@ -135,7 +148,6 @@ def main():
         timeit(f"tier{t_i} [{rows}x{K}*{w}] group", f_grp, keym)
         row0 += rows
 
-    @jax.jit
     def f_step(c, l):
         return sketch_match_step(
             c, l, bpacked, postings,
@@ -146,8 +158,20 @@ def main():
             num_transcripts=T, match_tiers=True, tier_widths=widths,
         )[0]
 
-    dt = timeit("FULL sketch_match_step", f_step, codes, lengths)
-    print(f"==> {B/dt:,.0f} reads/s device-step", flush=True)
+    def f_step_pt(c, l):
+        return sketch_match_step(
+            c, l, bpacked, postings,
+            kmer_lengths=ks, sketch_fraction=cfg.sketch_fraction,
+            sketch_caps=caps, chain_fraction=cfg.chain_fraction,
+            expand_per_read=cfg.expand_per_read,
+            candidate_capacity=cfg.candidate_capacity, bucket_meta=metas,
+            num_transcripts=T, match_tiers=True, tier_widths=widths,
+            probe_width=probe_w,
+        )[0]
+
+    dt = timeit("FULL sketch_match_step (flat probe)", f_step, codes, lengths)
+    dt2 = timeit("FULL sketch_match_step (tiered probe)", f_step_pt, codes, lengths)
+    print(f"==> flat {B/dt:,.0f} | tiered-probe {B/dt2:,.0f} reads/s device-step", flush=True)
 
 
 if __name__ == "__main__":

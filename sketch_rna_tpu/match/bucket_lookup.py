@@ -32,9 +32,20 @@ class BucketTable(NamedTuple):
 
 
 def build_bucket_table(
-    keys: np.ndarray, row_ptr: np.ndarray, target_load: int = 4
+    keys: np.ndarray, row_ptr: np.ndarray, target_load: int = 2,
+    max_row_lanes: int = 128,
 ) -> BucketTable:
-    """Host-side construction from a k's sorted CSR key arrays."""
+    """Host-side construction from a k's sorted CSR key arrays.
+
+    Bucket-count choice (measured on v5e, 8M-key GENCODE-scale table,
+    8192x72-probe batch): probe time FALLS as the table coarsens even
+    though each fetched row widens — 18.5 ms at load 2 (nb=4.2M, 39
+    lanes) down to 7.5 ms at load 16 (nb=512k, 123 lanes) — then rises
+    once the packed row exceeds one native 128-lane vector tile (load
+    32, 204 lanes: 10.3 ms).  So: start fine (target_load) and merge
+    bucket pairs while the resulting 3*mb row still fits max_row_lanes.
+    Merging halves nb and recomputes the exact max occupancy from the
+    pairwise-summed histogram — no re-bucketing pass."""
     U = int(keys.shape[0])
     nb = 1 << max(10, min(22, (max(U // target_load, 1)).bit_length()))
     max_key = int(keys.max()) if U else 0
@@ -44,6 +55,14 @@ def build_bucket_table(
 
     b = (keys.astype(np.uint64) >> shift).astype(np.int64)
     counts = np.bincount(b, minlength=nb) if U else np.zeros(nb, np.int64)
+    while nb > 1024:
+        merged = counts.reshape(-1, 2).sum(axis=1)
+        if 3 * max(int(merged.max()) if U else 0, 1) > max_row_lanes:
+            break
+        counts = merged
+        nb >>= 1
+        shift += 1
+        b >>= 1
     mb = max(int(counts.max()) if U else 0, 1)
     packed = np.zeros((nb, 3 * mb), dtype=np.int32)
     packed[:, :mb] = -1  # sentinel key bits

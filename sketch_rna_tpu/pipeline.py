@@ -134,29 +134,55 @@ def _event_totals_sorted(
     bucket_meta,
     use_pallas_sketch=False,
 ):
-    """Per-read max-per-k posting-event totals, ascending — the tier
-    width calibration sample (sketch + probe only, no expansion)."""
+    """Calibration sample (sketch + probe only, no expansion): per-read
+    max-per-k posting-event totals, ascending, concatenated with the
+    per-read max-per-k kept-hash counts, ascending.  The first sizes the
+    tiered EXPANSION windows; the second sizes the tiered PROBE width
+    (sketch_match_step probe_width)."""
     _sketch = sketch_batch_pallas if use_pallas_sketch else sketch_batch
     tk = None
+    nk = None
     for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
         h, m, _ = _sketch(codes, lengths, k, sketch_fraction, cap)
         shift, mb = bucket_meta[ki]
         _start, length = bucket_lookup(h, m, index_packed[ki], shift=shift, mb=mb)
         t = jnp.sum(length, axis=1)
         tk = t if tk is None else jnp.maximum(tk, t)
-    return jnp.sort(tk)
+        n = jnp.sum(m.astype(jnp.int32), axis=1)
+        nk = n if nk is None else jnp.maximum(nk, n)
+    return jnp.concatenate([jnp.sort(tk), jnp.sort(nk)])
+
+
+def _probe_width_from(sorted_counts: np.ndarray, caps, margin: float = 1.25):
+    """Tiered-probe window from an ascending per-read max-k kept-hash
+    sample: the 15/16-rank count with margin, rounded to a lane-friendly
+    multiple of 8.  None when the window wouldn't beat the flat probe.
+    A single width covers every k (any per-k count <= the max-over-k
+    sort key); margin absorbs batch drift, and residual spills trigger
+    the exact flat fallback via expand_dropped_pretail."""
+    n = int(sorted_counts.shape[0])
+    if n == 0:
+        return None
+    q = int(sorted_counts[n - n // 16 - 1])
+    w = ((int(q * margin) + 8) // 8) * 8
+    if w >= max(caps):
+        return None
+    return w
 
 
 def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
-    """Calibrated (small, medium) tier windows for this dataset.
+    """Calibrated (small, medium) expansion tier windows plus the tiered
+    probe width for this dataset.
 
     Samples the first batch's event totals and sizes the tier windows to
     its rank quantiles with margin (rowmatch.calibrate_tier_widths), so
     pretail spills are rare; any that still occur trigger the callers'
     exact flat-window fallback.  Cached per (packed, index, L) — repeat
     quantify calls (multi-sample, warm-up+timed benches) skip the probe.
+
+    Returns (tier_widths, probe_width).
     """
-    default = (16, 64)
+    default = ((16, 64), None)
     if not config.match_tiers or config.batch_size < 1024:
         return default
     n = min(config.batch_size, packed.num_reads)
@@ -168,7 +194,7 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
         return cache[ck]
     codes = jnp.asarray(packed.codes[: config.batch_size, :L])
     lengths = jnp.asarray(packed.lengths[: config.batch_size], jnp.int32)
-    st = np.asarray(
+    sample = np.asarray(
         _event_totals_sorted(
             codes,
             lengths,
@@ -180,14 +206,20 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
             use_pallas_sketch=config.use_pallas_sketch,
         )
     )
+    st, sc = sample[: len(sample) // 2], sample[len(sample) // 2 :]
     widths = calibrate_tier_widths(st, config.batch_size, config.expand_per_read)
+    probe_w = _probe_width_from(sc, caps)
+    result = (widths, probe_w)
     if cache is None:
         cache = {}
         object.__setattr__(packed, "_tier_width_cache", cache)
-    cache[ck] = widths
-    log.info("calibrated tier widths %s (sample q75=%d q94=%d)", widths,
-             st[(len(st) * 12) // 16 - 1], st[(len(st) * 15) // 16 - 1])
-    return widths
+    cache[ck] = result
+    log.info(
+        "calibrated tier widths %s probe width %s (sample q75=%d q94=%d)",
+        widths, probe_w,
+        st[(len(st) * 12) // 16 - 1], st[(len(st) * 15) // 16 - 1],
+    )
+    return result
 
 
 @partial(
@@ -205,6 +237,7 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
         "match_tiers",
         "restore_order",
         "tier_widths",
+        "probe_width",
     ),
 )
 def sketch_match_step(
@@ -225,6 +258,7 @@ def sketch_match_step(
     match_tiers: bool = True,
     restore_order: bool = False,
     tier_widths: Tuple[int, int] = (16, 64),
+    probe_width: Optional[int] = None,
 ):
     """One device batch: per-k sketching + candidate matching.
 
@@ -239,15 +273,71 @@ def sketch_match_step(
     which EM/assignment (an unordered bag of reads) never notice;
     restore_order=True inverts the permutation for callers that map
     rows back to read ids.
+
+    probe_width tiers the BUCKET PROBE the same way: sketch rows are
+    sorted by their per-read kept-hash count (valid lanes are a row
+    prefix, ascending-sorted sentinel-padded), the bottom 15/16 of the
+    batch probes only its first probe_width sketch lanes, and the tail
+    probes the full capacity.  The probe's [B, S, 3*mb] bucket-row
+    gather is the single largest HBM cost at large-index scale; most
+    reads use ~1/4 of the capacity lanes.  A single width covers every
+    k because any read's per-k kept count is bounded by the max-over-k
+    key the rows were sorted by.  Reads whose sketch outgrows the window
+    (calibration drift) are counted into expand_dropped_pretail, which
+    triggers the callers' exact flat fallback — never silent.
     """
     _sketch = sketch_batch_pallas if use_pallas_sketch else sketch_batch
     K = len(kmer_lengths)
-    overflows, starts, lens = [], [], []
+    B = codes.shape[0]
+    probe_tiered = (
+        match_tiers
+        and probe_width is not None
+        and B >= 1024
+        and probe_width < max(sketch_caps)
+    )
+    overflows, hs, ms = [], [], []
     for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
         h, m, ov = _sketch(codes, lengths, k, sketch_fraction, cap)
         overflows.append(ov)
+        hs.append(h)
+        ms.append(m)
+
+    pperm = None
+    probe_spill = jnp.zeros((), jnp.int32)
+    if probe_tiered:
+        nval = [jnp.sum(m.astype(jnp.int32), axis=1) for m in ms]
+        pkey = nval[0]
+        for v in nval[1:]:
+            pkey = jnp.maximum(pkey, v)
+        pperm = jnp.argsort(pkey).astype(jnp.int32)
+        hs = [jnp.take(h, pperm, axis=0) for h in hs]
+        ms = [jnp.take(m, pperm, axis=0) for m in ms]
+        B0 = B - B // 16
+
+    starts, lens = [], []
+    for ki, cap in enumerate(sketch_caps):
         shift, mb = bucket_meta[ki]
-        start, length = bucket_lookup(h, m, index_packed[ki], shift=shift, mb=mb)
+        if probe_tiered and probe_width < cap:
+            w0 = probe_width
+            s0, l0 = bucket_lookup(
+                hs[ki][:B0, :w0], ms[ki][:B0, :w0],
+                index_packed[ki], shift=shift, mb=mb,
+            )
+            s1, l1 = bucket_lookup(
+                hs[ki][B0:, :], ms[ki][B0:, :],
+                index_packed[ki], shift=shift, mb=mb,
+            )
+            pad = ((0, 0), (0, cap - w0))
+            start = jnp.concatenate([jnp.pad(s0, pad), s1], axis=0)
+            length = jnp.concatenate([jnp.pad(l0, pad), l1], axis=0)
+            # Valid sketch lanes past the window: events this probe never
+            # saw.  Counted into the pretail spill -> exact flat rerun.
+            nv0 = jnp.sum(ms[ki][:B0].astype(jnp.int32), axis=1)
+            probe_spill = probe_spill + jnp.sum(jnp.maximum(nv0 - w0, 0))
+        else:
+            start, length = bucket_lookup(
+                hs[ki], ms[ki], index_packed[ki], shift=shift, mb=mb
+            )
         starts.append(start)
         lens.append(length)
 
@@ -264,12 +354,19 @@ def sketch_match_step(
             tier_widths=tier_widths,
         )
         tid, score, mask = result.tid, result.score, result.mask
+        if pperm is not None:
+            # Output row i came from probe-permuted row perm[i], i.e.
+            # original row pperm[perm[i]].
+            perm = jnp.take(pperm, perm)
         if restore_order:
             inv = jnp.argsort(perm)
             tid = jnp.take(tid, inv, axis=0)
             score = jnp.take(score, inv, axis=0)
             mask = jnp.take(mask, inv, axis=0)
         stats = dict(result.stats)
+        stats["expand_dropped_pretail"] = (
+            stats["expand_dropped_pretail"] + probe_spill
+        )
     else:
         parts, drops = [], []
         for ki in range(K):
@@ -312,6 +409,7 @@ def sketch_match_step(
         "num_transcripts",
         "match_tiers",
         "tier_widths",
+        "probe_width",
     ),
 )
 def match_scan(
@@ -331,6 +429,7 @@ def match_scan(
     num_transcripts: int = 0,
     match_tiers: bool = True,
     tier_widths: Tuple[int, int] = (16, 64),
+    probe_width: Optional[int] = None,
 ):
     """Sketch + match over all batches in ONE device program (lax.scan)
     — no host roundtrips between batches.  Returns stacked candidate
@@ -358,6 +457,7 @@ def match_scan(
             num_transcripts=num_transcripts,
             match_tiers=match_tiers,
             tier_widths=tier_widths,
+            probe_width=probe_width,
         )
         dropped, spilled, sk_ov, ncm, pretail = carry
         n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
@@ -449,7 +549,7 @@ def collect_pairs(
     p_score: List[np.ndarray] = []
     stats = {"expand_dropped": 0, "candidate_spilled": 0, "sketch_overflow": 0}
     B = config.batch_size
-    widths = _tier_widths_for(
+    widths, probe_w = _tier_widths_for(
         index, packed, config, bpacked, bucket_meta, caps, ks, packed.padded_len
     )
     # Dispatch all device batches first (JAX dispatch is async), then sync
@@ -471,6 +571,7 @@ def collect_pairs(
             match_tiers=config.match_tiers,
             restore_order=True,
             tier_widths=widths,
+            probe_width=probe_w if config.match_tiers else None,
         )
         pending.append((out, row0))
     if config.match_tiers:
@@ -777,7 +878,7 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
         codes_all = jnp.pad(codes_b, ((0, Nb - n_b), (0, 0))).reshape(nb_b, B, L)
         lengths_all = jnp.pad(lengths_b, (0, Nb - n_b)).reshape(nb_b, B)
         caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
-        widths = _tier_widths_for(
+        widths, probe_w = _tier_widths_for(
             index, packed, config, bpacked, bucket_meta, caps, ks, L
         )
 
@@ -798,6 +899,7 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
                 num_transcripts=index.num_transcripts,
                 match_tiers=tiers,
                 tier_widths=widths,
+                probe_width=probe_w if tiers else None,
             )
 
         t, s, nc, st = run_scan(config.match_tiers)
@@ -1142,7 +1244,9 @@ def quantify_sharded(
     # Tier calibration uses the UNSHARDED index probe: its totals are the
     # global per-read event counts — exactly the sharded tier key.
     bpacked, _post_full, bucket_meta = _device_index(index, ks)
-    widths = _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L)
+    widths, _probe_w = _tier_widths_for(
+        index, packed, config, bpacked, bucket_meta, caps, ks, L
+    )
     m_cap = min(
         max(config.stream_class_capacity, 2 * Bl),
         max(_round_up(nb * Bl, 1024), 2 * Bl),

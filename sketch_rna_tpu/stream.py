@@ -58,6 +58,7 @@ log = logging.getLogger(__name__)
         "num_transcripts",
         "match_tiers",
         "tier_widths",
+        "probe_width",
         "m_cap",
     ),
 )
@@ -82,6 +83,7 @@ def stream_match_scan(
     num_transcripts: int = 0,
     match_tiers: bool = True,
     tier_widths: Tuple[int, int] = (16, 64),
+    probe_width: Optional[int] = None,
     m_cap: int = 1 << 17,
 ):
     """Match one super-chunk of batches into the running class buffer.
@@ -120,6 +122,7 @@ def stream_match_scan(
             num_transcripts=num_transcripts,
             match_tiers=match_tiers,
             tier_widths=tier_widths,
+            probe_width=probe_width,
         )
         score = jnp.where(mask, score, 0)
 
@@ -243,6 +246,7 @@ def quantify_streamed(
     ncm_parts = []
     stats_parts = []
     widths = None
+    probe_w = None
     with timer.phase("stream_match"):
         for chunk in _chunks_of(reads, config.stream_chunk_reads):
             n = chunk.num_reads
@@ -252,7 +256,7 @@ def quantify_streamed(
             L = int(chunk.padded_len)
             caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
             if widths is None:
-                widths = _tier_widths_for(
+                widths, probe_w = _tier_widths_for(
                     index, chunk, config, bpacked, bucket_meta, caps, ks, L
                 )
             nbc = (n + B - 1) // B
@@ -284,6 +288,7 @@ def quantify_streamed(
                 num_transcripts=T,
                 match_tiers=config.match_tiers,
                 tier_widths=widths,
+                probe_width=probe_w if config.match_tiers else None,
                 m_cap=m_cap,
             )
             ncm_parts.append(ncm)

@@ -126,3 +126,69 @@ def test_tiered_unordered_matches_flat_as_bag(tiered_problem):
         return sorted(rows)
 
     assert rows_as_bag(t0, s0, m0) == rows_as_bag(t1, s1, m1)
+
+
+def test_probe_tiered_equals_flat(tiered_problem):
+    """Tiered bucket probe (probe_width) == flat full-capacity probe,
+    bit-exact after restore_order, with zero spills when the width
+    covers the batch's kept-hash counts."""
+    cfg, idx, codes, lengths = tiered_problem
+    ks = tuple(idx.kmer_lengths)
+    caps = tuple(cfg.sketch_capacity_for(k, 128) for k in ks)
+    bp, post, meta = _device_index(idx, ks)
+    kw = dict(
+        kmer_lengths=ks,
+        sketch_fraction=cfg.sketch_fraction,
+        sketch_caps=caps,
+        chain_fraction=cfg.chain_fraction,
+        expand_per_read=cfg.expand_per_read,
+        candidate_capacity=cfg.candidate_capacity,
+        bucket_meta=meta,
+        num_transcripts=idx.num_transcripts,
+    )
+    t0, s0, m0, _ = sketch_match_step(
+        jnp.asarray(codes), jnp.asarray(lengths), bp, post, match_tiers=False, **kw
+    )
+    # Width covering the dataset (reads <= 120 bp, ~5% kept): 16 lanes.
+    t1, s1, m1, st1 = sketch_match_step(
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        bp,
+        post,
+        match_tiers=True,
+        restore_order=True,
+        probe_width=16,
+        **kw,
+    )
+    t0, s0, m0 = np.asarray(t0), np.asarray(s0), np.asarray(m0)
+    t1, s1, m1 = np.asarray(t1), np.asarray(s1), np.asarray(m1)
+    assert int(np.asarray(st1["expand_dropped_pretail"])) == 0
+    assert (m0 == m1).all()
+    assert (np.where(m0, t0, 0) == np.where(m1, t1, 0)).all()
+    assert (np.where(m0, s0, 0) == np.where(m1, s1, 0)).all()
+
+
+def test_probe_tiered_undersized_width_spills(tiered_problem):
+    """A probe window smaller than the batch's kept counts must report
+    pretail spills (the callers' trigger for the exact flat rerun)."""
+    cfg, idx, codes, lengths = tiered_problem
+    ks = tuple(idx.kmer_lengths)
+    caps = tuple(cfg.sketch_capacity_for(k, 128) for k in ks)
+    bp, post, meta = _device_index(idx, ks)
+    _, _, _, st = sketch_match_step(
+        jnp.asarray(codes),
+        jnp.asarray(lengths),
+        bp,
+        post,
+        kmer_lengths=ks,
+        sketch_fraction=cfg.sketch_fraction,
+        sketch_caps=caps,
+        chain_fraction=cfg.chain_fraction,
+        expand_per_read=cfg.expand_per_read,
+        candidate_capacity=cfg.candidate_capacity,
+        bucket_meta=meta,
+        num_transcripts=idx.num_transcripts,
+        match_tiers=True,
+        probe_width=1,
+    )
+    assert int(np.asarray(st["expand_dropped_pretail"])) > 0
