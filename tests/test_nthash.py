@@ -156,6 +156,41 @@ def test_window_tables_content():
         assert int(t[0, b]) == srol(NTHASH_SEEDS[b], 30) & 0xFFFFFFFF
 
 
+# ------------------------------------------------ native C++ witness ---
+
+
+def test_cpp_witness_matches_python(rng, tmp_path):
+    """Third independent derivation: native/nthash_witness.cpp expresses
+    srol in the canonical bit-twiddle form and maintains hashes ONLY via
+    the rolling recurrence (no windowed-XOR shortcut).  Bit-equality with
+    the Python scalar forms across random sequences and k values guards
+    the recurrence composition, complementing the binary table scan
+    below (which guards the constants)."""
+    import subprocess
+
+    src = os.path.join(os.path.dirname(__file__), "..", "native", "nthash_witness.cpp")
+    exe = str(tmp_path / "nthash_witness")
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-o", exe, src], check=True, capture_output=True
+    )
+    cases = [("A", 1), ("ACGTACGT", 4), ("T" * 31, 31)]
+    for _ in range(25):
+        k = int(rng.choice([2, 3, 5, 15, 21, 31, 63]))
+        n = int(rng.integers(k, k + 120))
+        seq = "".join(BASES[c] for c in random_codes(rng, n))
+        cases.append((seq, k))
+    stdin = "".join(f"{k} {seq}\n" for seq, k in cases)
+    out = subprocess.run(
+        [exe], input=stdin, capture_output=True, text=True, check=True
+    ).stdout.splitlines()
+    assert len(out) == len(cases)
+    for line, (seq, k) in zip(out, cases):
+        got = [int(tok, 16) for tok in line.split()]
+        assert got == nthash_forward_scalar(codes_of(seq), k), (seq, k)
+        if (seq, k) in GOLDEN_FROZEN:
+            assert got == GOLDEN_FROZEN[(seq, k)]
+
+
 # ---------------------------------------- real-library cross-validation ---
 
 _REF_BINARY = "/root/reference/build/test"
