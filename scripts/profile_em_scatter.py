@@ -19,7 +19,9 @@ from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
 
 enable_compilation_cache()
 
-N, W, T = 204800, 16, 50000
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 204800
+W = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+T = int(sys.argv[3]) if len(sys.argv) > 3 else 50000
 # All data generated ON DEVICE (host numpy is too slow here).
 key = jax.random.PRNGKey(0)
 k1, k2 = jax.random.split(key)
@@ -64,9 +66,95 @@ def f_segsum_unsorted(post):
     return jax.ops.segment_sum(post.reshape(-1), tid.reshape(-1), num_segments=T)
 
 
+# (e) NO scatter at all: cumsum over tid-sorted lanes + per-transcript
+# segment boundaries precomputed ONCE (static across EM iterations):
+# ps[t] = cum[pos[t+1]] - cum[pos[t]] — two [T] gathers from the cumsum.
+pos = jnp.searchsorted(tid_sorted, jnp.arange(T + 1, dtype=jnp.int32)).astype(
+    jnp.int32
+)
+jax.block_until_ready(pos)
+
+
+@jax.jit
+def f_cumsum_diff(post):
+    ps = post.reshape(-1)[perm]
+    cum = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(ps)])
+    return cum[pos[1:]] - cum[pos[:-1]]
+
+
+# (f) pi-gather alone (the other half of the e_step), for the split.
+pi0 = jnp.full(T, 1.0 / T, jnp.float32)
+
+
+@jax.jit
+def f_pigather(pi):
+    w = pi[tid] * post
+    denom = jnp.sum(w, axis=1, keepdims=True)
+    return w / denom
+
+
+# (g) transcript-major transpose: static gather map [T, Wt] of lane
+# positions (built once), per-iteration = gather + row-sum + small
+# spill scatter.  No precision hazard: sums stay per-transcript.
+WT = 8
+n_lanes = N * W
+seg_start = pos[:-1]
+seg_len = pos[1:] - pos[:-1]
+gcols = seg_start[:, None] + jnp.arange(WT, dtype=jnp.int32)[None, :]
+gvalid = jnp.arange(WT, dtype=jnp.int32)[None, :] < seg_len[:, None]
+gmap = jnp.where(gvalid, jnp.take(jnp.concatenate([perm, jnp.zeros(WT, jnp.int32)]),
+                                  jnp.minimum(gcols, n_lanes - 1)), n_lanes)
+# Spill lanes: sorted positions past each segment's first WT.
+lane_rank = jnp.arange(n_lanes, dtype=jnp.int32) - seg_start[tid_sorted]
+spill_mask = lane_rank >= WT
+n_spill = int(jnp.sum(spill_mask))
+sp_order = jnp.argsort(~spill_mask, stable=True)[:max(n_spill, 1)]
+spill_src = perm[sp_order]
+spill_tid = tid_sorted[sp_order]
+jax.block_until_ready((gmap, spill_src, spill_tid))
+
+
+@jax.jit
+def f_transpose(post):
+    pf = jnp.concatenate([post.reshape(-1), jnp.zeros(1, jnp.float32)])
+    ps = jnp.sum(pf[gmap], axis=1)
+    if n_spill:
+        ps = ps.at[spill_tid].add(pf[spill_src])
+    return ps
+
+
+# (h) the production scatter-free path: segmented associative scan over
+# blocks with a static plan (em/segsum.py).
+from sketch_rna_tpu.em.segsum import build_segsum_plan, segsum_apply
+
+seg_plan = build_segsum_plan(flat, T)
+jax.block_until_ready(seg_plan)
+
+
+@jax.jit
+def f_segsum_plan(post):
+    return segsum_apply(seg_plan, post.reshape(-1))
+
+
 if __name__ == "__main__":
     print(f"N={N} W={W} T={T} lanes={N*W}", flush=True)
     timeit("scatter (read layout)", f_scatter, post)
     timeit("gather-perm + sorted scatter", f_scatter_sorted, post)
     timeit("gather-perm + sorted segsum", f_segsum_sorted, post)
     timeit("unsorted segment_sum", f_segsum_unsorted, post)
+    timeit("cumsum + static seg-diff gathers", f_cumsum_diff, post)
+    timeit("pi-gather + rownorm only", f_pigather, pi0)
+    print(f"transpose: WT={WT} spill={n_spill} ({n_spill/(N*W):.1%} of lanes)",
+          flush=True)
+    timeit("transpose gather+rowsum (+spill)", f_transpose, post)
+    timeit("segsum plan (production path)", f_segsum_plan, post)
+    np.testing.assert_allclose(
+        np.asarray(f_transpose(post)), np.asarray(f_scatter(post)), rtol=2e-3,
+        atol=1e-3,
+    )
+    print("transpose == scatter (2e-3): OK", flush=True)
+    np.testing.assert_allclose(
+        np.asarray(f_segsum_plan(post)), np.asarray(f_scatter(post)), rtol=2e-3,
+        atol=1e-3,
+    )
+    print("segsum_plan == scatter (2e-3): OK", flush=True)

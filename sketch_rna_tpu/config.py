@@ -65,6 +65,13 @@ class QuantConfig:
     # float32 EM when the one-hot footprint fits (mxu_em_auto); "on"/"off"
     # force it.  float64 parity runs always use the scatter path.
     em_mxu: str = "auto"
+    # Scatter-free posterior accumulation (em/segsum.py): lanes sort by
+    # transcript ONCE per quant, then every EM iteration reduces the
+    # posterior sums with a segmented scan + one [T] gather instead of a
+    # duplicate-index scatter-add (which XLA serializes on TPU).  "auto"
+    # enables it on TPU for float32 whenever the MXU path didn't claim
+    # the step; float64 parity runs keep the scatter.
+    em_segsum: str = "auto"
     # Collapse reads with identical candidate profiles into weighted
     # equivalence classes before EM (exact; EM cost then scales with
     # transcriptome ambiguity, not read count).

@@ -358,6 +358,7 @@ def stream_sharded_scan(
         "em_epsilon",
         "em_dtype",
         "use_mxu",
+        "use_segsum",
         "nm_pad",
         "nmid_pad",
         "nw_pad",
@@ -383,6 +384,7 @@ def em_assign_sharded(
     em_epsilon: float = 1e-10,
     em_dtype: str = "float32",
     use_mxu: bool = False,
+    use_segsum: bool = False,
     nm_pad: int = 0,
     nmid_pad: int = 0,
     nw_pad: int = 0,
@@ -438,6 +440,7 @@ def em_assign_sharded(
             dtype=em_dtype,
             axis_name="data",
             use_mxu=use_mxu,
+            use_segsum=use_segsum,
             static_base=static_base,
             static_has=static_has,
         )

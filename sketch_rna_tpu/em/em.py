@@ -35,6 +35,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from sketch_rna_tpu.em.segsum import plan_from_tables, segsum_apply
+
 
 def _psum_maybe(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
@@ -88,6 +90,23 @@ def resolve_em_mxu(mode: str, num_transcripts: int, total_lanes: int, dtype) -> 
     if mode == "off":
         return False
     return mxu_em_auto(num_transcripts, total_lanes, dtype)
+
+
+def resolve_em_segsum(mode: str, dtype, use_mxu: bool) -> bool:
+    """Map the config's em_segsum mode to a decision (see em/segsum.py).
+
+    Auto policy: the sorted segmented-scan posterior sum replaces the
+    duplicate-index scatter whenever the MXU one-hot path didn't claim
+    the step and we're on TPU in float32.  float64 keeps the scatter
+    (the CPU bit-parity surface, where XLA scatters are cheap anyway).
+    """
+    if use_mxu:
+        return False
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return jnp.dtype(dtype) == jnp.float32 and jax.default_backend() == "tpu"
 
 
 def _mxu_onehots(flat_tid: jnp.ndarray, num_rows: int):
@@ -263,6 +282,7 @@ def run_em_tables(
         "dtype",
         "axis_name",
         "use_mxu",
+        "use_segsum",
     ),
 )
 def run_em_partitioned(
@@ -279,6 +299,8 @@ def run_em_partitioned(
     init_pi: Optional[jnp.ndarray] = None,
     start_iteration: int = 0,
     use_mxu: bool = False,
+    use_segsum: bool = False,
+    segsum_plan=None,
     static_base: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """EM over several width-partitioned class tables at once.
@@ -305,6 +327,9 @@ def run_em_partitioned(
     dt = jnp.dtype(dtype)
     tp = _round_up(max(T, 1), _MXU_LANE)
     base = None if static_base is None else static_base.astype(dt)
+    plan = segsum_plan
+    if use_segsum and not use_mxu and plan is None:
+        plan = plan_from_tables(tables, T)  # once; static across the loop
     prepped = []
     for tid, score, weight in tables:
         sc = score.astype(dt)
@@ -343,6 +368,7 @@ def run_em_partitioned(
                     post = post * wgt
                 ps2d = ps2d + _mxu_scatter2d(post.reshape(-1), oh_row, oh_lane)
             return _psum_maybe(ps2d.reshape(tp)[:T], axis_name)
+        flats = [] if plan is not None else None
         ps = jnp.zeros(T, dt) if base is None else base
         for tid, sc, wgt, _oh in prepped:
             w = pi[tid] * sc
@@ -353,7 +379,12 @@ def run_em_partitioned(
             post = w * inv
             if wgt is not None:
                 post = post * wgt
-            ps = ps.at[tid.reshape(-1)].add(post.reshape(-1))
+            if plan is not None:
+                flats.append(post.reshape(-1))
+            else:
+                ps = ps.at[tid.reshape(-1)].add(post.reshape(-1))
+        if plan is not None:
+            ps = ps + segsum_apply(plan, jnp.concatenate(flats))
         return _psum_maybe(ps, axis_name)
 
     def cond(state):
@@ -383,6 +414,7 @@ def run_em_partitioned(
         "dtype",
         "axis_name",
         "use_mxu",
+        "use_segsum",
     ),
 )
 def run_em_assign_partitioned(
@@ -397,6 +429,7 @@ def run_em_assign_partitioned(
     dtype: str = "float32",
     axis_name: Optional[str] = None,
     use_mxu: bool = False,
+    use_segsum: bool = False,
     static_base: Optional[jnp.ndarray] = None,
     static_has: Optional[jnp.ndarray] = None,
 ):
@@ -410,6 +443,10 @@ def run_em_assign_partitioned(
 
     Returns (pi, iters, weighted, has_entry) — the complete quant tail.
     """
+    use_segsum = use_segsum and not use_mxu
+    plan = (
+        plan_from_tables(tables, num_transcripts) if use_segsum else None
+    )  # ONE sort shared by the EM loop and the assignment pass
     pi, iters, _done = run_em_partitioned(
         tables,
         num_reads,
@@ -421,6 +458,8 @@ def run_em_assign_partitioned(
         dtype=dtype,
         axis_name=axis_name,
         use_mxu=use_mxu,
+        use_segsum=use_segsum,
+        segsum_plan=plan,
         static_base=static_base,
     )
     weighted, has_entry = assign_reads_partitioned(
@@ -430,6 +469,8 @@ def run_em_assign_partitioned(
         dtype=dtype,
         axis_name=axis_name,
         use_mxu=use_mxu,
+        use_segsum=use_segsum,
+        segsum_plan=plan,
         static_base=static_base,
         static_has=static_has,
     )
@@ -437,7 +478,14 @@ def run_em_assign_partitioned(
 
 
 @partial(
-    jax.jit, static_argnames=("num_transcripts", "dtype", "axis_name", "use_mxu")
+    jax.jit,
+    static_argnames=(
+        "num_transcripts",
+        "dtype",
+        "axis_name",
+        "use_mxu",
+        "use_segsum",
+    ),
 )
 def assign_reads_partitioned(
     tables,
@@ -447,6 +495,8 @@ def assign_reads_partitioned(
     dtype: str = "float32",
     axis_name: Optional[str] = None,
     use_mxu: bool = False,
+    use_segsum: bool = False,
+    segsum_plan=None,
     static_base: Optional[jnp.ndarray] = None,
     static_has: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -465,6 +515,10 @@ def assign_reads_partitioned(
     T = num_transcripts
     dt = jnp.dtype(dtype)
     tp = _round_up(max(T, 1), _MXU_LANE)
+    plan = segsum_plan
+    if use_segsum and not use_mxu and plan is None:
+        plan = plan_from_tables(tables, T)
+    prob_flats, contrib_flats = [], []
     if use_mxu:
         w2d = jnp.zeros((tp // _MXU_LANE, _MXU_LANE), dt)
         h2d = jnp.zeros((tp // _MXU_LANE, _MXU_LANE), jnp.float32)
@@ -492,11 +546,17 @@ def assign_reads_partitioned(
             h2d = h2d + _mxu_scatter2d(
                 contributes.reshape(-1).astype(jnp.float32), oh_row, oh_lane
             )
+        elif plan is not None:
+            prob_flats.append(prob.reshape(-1))
+            contrib_flats.append(contributes.reshape(-1).astype(jnp.int32))
         else:
             weighted = weighted.at[tid.reshape(-1)].add(prob.reshape(-1))
             has_entry = has_entry.at[tid.reshape(-1)].add(
                 contributes.reshape(-1).astype(jnp.int32)
             )
+    if plan is not None and not use_mxu:
+        weighted = weighted + segsum_apply(plan, jnp.concatenate(prob_flats))
+        has_entry = has_entry + segsum_apply(plan, jnp.concatenate(contrib_flats))
     if use_mxu:
         weighted = w2d.reshape(tp)[:T]
         has_entry = h2d.reshape(tp)[:T].astype(jnp.int32)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -29,6 +30,7 @@ from sketch_rna_tpu.em.em import (
     assign_reads_partitioned,
     assign_reads_tables,
     resolve_em_mxu,
+    resolve_em_segsum,
     run_em_assign_partitioned,
     run_em_partitioned,
     run_em_tables,
@@ -952,6 +954,9 @@ def _run_em(
         ),
         static_base=static_base,
     )
+    kw["use_segsum"] = resolve_em_segsum(
+        config.em_segsum, config.em_dtype, kw["use_mxu"]
+    )
     R_dev = jnp.asarray(num_reads, jnp.int32)
     if not config.em_checkpoint:
         pi, iters, _ = run_em_partitioned(
@@ -1063,6 +1068,10 @@ def _quantify_fused(
     tbl_tid = jax.lax.slice_in_dim(tbl_tid, 0, W, axis=1)
     tbl_score = jax.lax.slice_in_dim(tbl_score, 0, W, axis=1)
 
+    # Profiling aid: phases below dispatch async and normally drain at
+    # the single fetch sync; setting SKETCH_TPU_SYNC_PHASES=1 blocks
+    # after each so the timer attributes device time per stage.
+    sync_phases = os.environ.get("SKETCH_TPU_SYNC_PHASES") == "1"
     with timer.phase("classes"):
         if use_classes:
             plan = plan_class_tables(
@@ -1094,6 +1103,8 @@ def _quantify_fused(
             tables, static_base, static_has = _em_tables(
                 tbl_tid, tbl_score, config, num_transcripts=index.num_transcripts
             )
+        if sync_phases:
+            jax.block_until_ready(tables)
 
     with timer.phase("em_assign"):
         use_mxu = resolve_em_mxu(
@@ -1102,6 +1113,7 @@ def _quantify_fused(
             sum(t[0].size for t in tables),
             config.em_dtype,
         )
+        use_segsum = resolve_em_segsum(config.em_segsum, config.em_dtype, use_mxu)
         if config.em_checkpoint:
             pi, iters = _run_em(
                 tables,
@@ -1116,6 +1128,7 @@ def _quantify_fused(
                 num_transcripts=index.num_transcripts,
                 dtype=config.em_dtype,
                 use_mxu=use_mxu,
+                use_segsum=use_segsum,
                 static_base=static_base,
                 static_has=static_has,
             )
@@ -1130,9 +1143,12 @@ def _quantify_fused(
                 epsilon=config.em_epsilon,
                 dtype=config.em_dtype,
                 use_mxu=use_mxu,
+                use_segsum=use_segsum,
                 static_base=static_base,
                 static_has=static_has,
             )
+        if sync_phases:
+            jax.block_until_ready((pi, weighted))
     with timer.phase("fetch"):
         # Bundle every device->host readback into ONE transfer: each
         # np.asarray pays the tunnel round-trip latency (~10-30 ms), so
@@ -1304,6 +1320,9 @@ def quantify_sharded(
     nw_pad = min(_round_up(max(nw2, 1), 512), m_pad) if (split and nw2 > 0) else 0
     total_lanes = nm_pad * _EM_NARROW_WIDTH + nmid_pad * _EM_MID_WIDTH + nw_pad * W \
         if (split or fold) else m_pad * W
+    sh_mxu = resolve_em_mxu(
+        config.em_mxu, index.num_transcripts, total_lanes, config.em_dtype
+    )
 
     pi, iters, weighted, has_entry = em_assign_sharded(
         bt,
@@ -1319,9 +1338,8 @@ def quantify_sharded(
         pseudocount=config.pseudocount,
         em_epsilon=config.em_epsilon,
         em_dtype=config.em_dtype,
-        use_mxu=resolve_em_mxu(
-            config.em_mxu, index.num_transcripts, total_lanes, config.em_dtype
-        ),
+        use_mxu=sh_mxu,
+        use_segsum=resolve_em_segsum(config.em_segsum, config.em_dtype, sh_mxu),
         nm_pad=nm_pad,
         nmid_pad=nmid_pad,
         nw_pad=nw_pad,
