@@ -183,9 +183,8 @@ bool validate_seq(const char* s, int64_t n) {
   return true;
 }
 
-int pack_threaded(const std::vector<Record>& records, int64_t pad_len,
+int pack_threaded(const Record* records, int64_t n, int64_t pad_len,
                   uint8_t* codes, int32_t* lengths, int n_threads) {
-  const int64_t n = static_cast<int64_t>(records.size());
   if (n_threads < 1) n_threads = 1;
   auto worker = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
@@ -276,7 +275,24 @@ int fastq_pack(void* handle, int64_t pad_len, uint8_t* codes, int32_t* lengths,
                int n_threads) {
   auto* h = static_cast<FastqHandle*>(handle);
   if (!h) return -1;
-  return pack_threaded(h->records, pad_len, codes, lengths, n_threads);
+  return pack_threaded(h->records.data(),
+                       static_cast<int64_t>(h->records.size()), pad_len, codes,
+                       lengths, n_threads);
+}
+
+// Pack only records [start, start+count) — the chunked feed for the
+// streaming quant path: the host packs chunk c+1 while the device is
+// still matching chunk c (dedup/filter already happened globally in
+// fastq_open_scan, so chunk boundaries cannot change record semantics).
+int fastq_pack_range(void* handle, int64_t start, int64_t count,
+                     int64_t pad_len, uint8_t* codes, int32_t* lengths,
+                     int n_threads) {
+  auto* h = static_cast<FastqHandle*>(handle);
+  if (!h || start < 0 || count < 0 ||
+      start + count > static_cast<int64_t>(h->records.size()))
+    return -1;
+  return pack_threaded(h->records.data() + start, count, pad_len, codes,
+                       lengths, n_threads);
 }
 
 // Total bytes needed for the concatenated id buffer.

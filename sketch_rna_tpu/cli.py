@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--em-checkpoint", default=None, metavar="PATH",
                    help="periodically checkpoint EM state to PATH and resume "
                    "from it if present (single-device quant)")
+    p.add_argument("--em-segsum", choices=["auto", "on", "off"], default="auto",
+                   help="scatter-free segmented-scan EM posterior accumulation "
+                   "(auto: TPU + float32 when the MXU path is off)")
+    p.add_argument("--stream-chunk-reads", type=int, default=None,
+                   help="reads per chunk for the big-dataset streaming path "
+                   "(default 1M); chunks are parsed/packed on the host while "
+                   "the device matches the previous chunk")
     return p
 
 
@@ -121,7 +128,13 @@ def _config_from_args(args, kmer_lengths) -> QuantConfig:
         expand_per_read=args.expand_per_read,
         em_dtype=em_dtype,
         em_mxu=args.em_mxu,
+        em_segsum=args.em_segsum,
         em_checkpoint=args.em_checkpoint,
+        **(
+            {"stream_chunk_reads": args.stream_chunk_reads}
+            if args.stream_chunk_reads
+            else {}
+        ),
     )
 
 
@@ -252,14 +265,38 @@ def run_quant(
             print(f"Output written to {out}")
         return
 
+    packed = None
+    stream = None
     if multiproc:
         packed = _load_reads_slice(reads_path, idx, config)
-    else:
+    elif use_native and not sharded:
+        # One native scan decides the route: datasets beyond the fused
+        # HBM budget stream through chunks_from_scan (the host packs
+        # chunk c+1 while the device matches chunk c) instead of ever
+        # materializing the whole [R, L] pack.
+        from sketch_rna_tpu.io import native
+        from sketch_rna_tpu.pipeline import FUSED_MAX_PADDED_READS
+
+        if native.native_available():
+            scan = native.NativeFastqScan(reads_path, max(idx.kmer_lengths))
+            pad_len = max(config.max_read_len, ((scan.max_len + 127) // 128) * 128)
+            if scan.num_reads > FUSED_MAX_PADDED_READS:
+                stream = native.chunks_from_scan(
+                    scan, config.stream_chunk_reads, pad_len
+                )
+            else:
+                packed = scan.pack_range(0, scan.num_reads, pad_len)
+                scan.close()
+    if packed is None and stream is None:
         packed = _load_reads(reads_path, idx, config, use_native)
     if primary:
         print("Loading read completed")
 
-    if sharded or multiproc:
+    if stream is not None:
+        from sketch_rna_tpu.stream import quantify_streamed
+
+        result = quantify_streamed(idx, stream, config)
+    elif sharded or multiproc:
         from sketch_rna_tpu.pipeline import quantify_sharded
 
         result = quantify_sharded(idx, packed, config)

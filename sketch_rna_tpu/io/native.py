@@ -80,6 +80,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
         ]
+        lib.fastq_pack_range.restype = ctypes.c_int
+        lib.fastq_pack_range.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
         lib.fastq_ids_size.restype = ctypes.c_int64
         lib.fastq_ids_size.argtypes = [ctypes.c_void_p]
         lib.fastq_get_ids.restype = ctypes.c_int
@@ -170,6 +180,123 @@ def pack_fastq_native(
         return PackedReads(codes, lengths, ids if ids is not None else [str(i) for i in range(n)]), stats
     finally:
         lib.fastq_close(h)
+
+
+class NativeFastqScan:
+    """A scanned-but-unpacked FASTQ held open for range packing.
+
+    fastq_open_scan already performed the full parse + validation +
+    global last-wins dedup (one mmap pass, views only), so packing any
+    record range later is semantically identical to whole-file packing —
+    chunk boundaries cannot change which reads exist.
+    """
+
+    def __init__(self, path: str, min_len: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native fastio unavailable")
+        self._lib = lib
+        n_valid = ctypes.c_int64()
+        n_seen = ctypes.c_int64()
+        n_invalid = ctypes.c_int64()
+        max_len = ctypes.c_int64()
+        self._h = lib.fastq_open_scan(
+            path.encode(), min_len, ctypes.byref(n_valid), ctypes.byref(n_seen),
+            ctypes.byref(n_invalid), ctypes.byref(max_len),
+        )
+        if not self._h:
+            raise FileNotFoundError(f"Could not open FASTQ file: {path}")
+        self.num_reads = int(n_valid.value)
+        self.max_len = int(max_len.value)
+        self.stats = {
+            "n_seen": int(n_seen.value),
+            "n_invalid": int(n_invalid.value),
+            "max_len": self.max_len,
+        }
+
+    def pack_range(
+        self, start: int, count: int, pad_len: int, n_threads: Optional[int] = None
+    ) -> PackedReads:
+        codes = np.zeros((count, pad_len), dtype=np.uint8)
+        lengths = np.zeros(count, dtype=np.int32)
+        if count:
+            nt = n_threads or min(os.cpu_count() or 1, 16)
+            rc = self._lib.fastq_pack_range(
+                self._h,
+                start,
+                count,
+                pad_len,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                nt,
+            )
+            if rc != 0:
+                raise RuntimeError("fastq_pack_range failed")
+        return PackedReads(codes, lengths, [])
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fastq_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def chunks_from_scan(
+    scan: NativeFastqScan,
+    chunk_reads: int,
+    pad_len: Optional[int] = None,
+    n_threads: Optional[int] = None,
+    close: bool = True,
+):
+    """Double-buffered chunk feed for stream.quantify_streamed.
+
+    Yields PackedReads of up to chunk_reads rows from an open scan, all
+    padded to ONE shared pad_len (so the device programs compile once).
+    While the consumer processes chunk c, a background thread packs
+    chunk c+1 (ctypes releases the GIL during the C call, so the
+    overlap is real).  Closes the scan when exhausted unless close=False.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        n = scan.num_reads
+        if n == 0:
+            return
+        L = pad_len if pad_len is not None else max(scan.max_len, 1)
+        starts = list(range(0, n, chunk_reads))
+        with ThreadPoolExecutor(max_workers=1) as ex:
+
+            def pack(s):
+                return scan.pack_range(s, min(chunk_reads, n - s), L, n_threads)
+
+            fut = ex.submit(pack, starts[0])
+            for s in starts[1:]:
+                cur = fut.result()
+                fut = ex.submit(pack, s)
+                yield cur
+            yield fut.result()
+    finally:
+        if close:
+            scan.close()
+
+
+def iter_fastq_chunks_native(
+    path: str,
+    min_len: int,
+    chunk_reads: int,
+    pad_len: Optional[int] = None,
+    n_threads: Optional[int] = None,
+):
+    """Scan + double-buffered chunk feed in one call (see chunks_from_scan)."""
+    scan = NativeFastqScan(path, min_len)
+    if pad_len is None:
+        pad_len = max(scan.max_len, min_len, 1)
+    yield from chunks_from_scan(scan, chunk_reads, pad_len, n_threads)
 
 
 def load_fasta_native(path: str) -> FastaRecords:

@@ -225,7 +225,12 @@ def quantify_streamed(
         _run_em,
         _tier_widths_for,
     )
-    from sketch_rna_tpu.em.em import assign_reads_partitioned
+    from sketch_rna_tpu.em.em import (
+        assign_reads_partitioned,
+        resolve_em_mxu,
+        resolve_em_segsum,
+        run_em_assign_partitioned,
+    )
     from sketch_rna_tpu.utils.timing import PhaseTimer
 
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
@@ -319,18 +324,40 @@ def quantify_streamed(
         )
         jax.block_until_ready(tables[0][0])
 
-    with timer.phase("em"):
-        pi, iters = _run_em(tables, R, T, config, static_base=static_base)
-        jax.block_until_ready(pi)
-    with timer.phase("assignment"):
-        weighted, has_entry = assign_reads_partitioned(
-            tables,
-            pi,
-            num_transcripts=T,
-            dtype=config.em_dtype,
-            static_base=static_base,
-            static_has=static_has,
-        )
+    use_mxu = resolve_em_mxu(
+        config.em_mxu, T, sum(t[0].size for t in tables), config.em_dtype
+    )
+    use_segsum = resolve_em_segsum(config.em_segsum, config.em_dtype, use_mxu)
+    with timer.phase("em_assign"):
+        if config.em_checkpoint:
+            pi, iters = _run_em(tables, R, T, config, static_base=static_base)
+            weighted, has_entry = assign_reads_partitioned(
+                tables,
+                pi,
+                num_transcripts=T,
+                dtype=config.em_dtype,
+                use_mxu=use_mxu,
+                use_segsum=use_segsum,
+                static_base=static_base,
+                static_has=static_has,
+            )
+        else:
+            # One program for the whole tail (EM loop + assignment),
+            # sharing the MXU one-hots / segsum plan between the two.
+            pi, iters, weighted, has_entry = run_em_assign_partitioned(
+                tables,
+                jnp.asarray(R, jnp.int32),
+                num_transcripts=T,
+                max_iterations=config.em_max_iterations,
+                convergence_threshold=config.em_convergence,
+                pseudocount=config.pseudocount,
+                epsilon=config.em_epsilon,
+                dtype=config.em_dtype,
+                use_mxu=use_mxu,
+                use_segsum=use_segsum,
+                static_base=static_base,
+                static_has=static_has,
+            )
         jax.block_until_ready(weighted)
     return QuantResult(
         names=list(index.names),

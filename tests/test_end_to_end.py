@@ -95,6 +95,41 @@ def test_cli_multik(fixture_files):
         assert float(row["EM_Abundance"]) == pytest.approx(o_pi[t], rel=1e-5)
 
 
+def test_cli_chunked_stream_route_matches_fused(fixture_files, monkeypatch):
+    """Forcing the CLI's chunked-streaming route (native scan +
+    chunks_from_scan + quantify_streamed) must reproduce the default
+    fused route's CSV exactly."""
+    from sketch_rna_tpu.io import native
+
+    if not native.native_available():
+        pytest.skip("native fastio not built")
+    tmp, fasta, fastq, names, seqs, reads, read_names = fixture_files
+    idx_path = str(tmp / "ref_cs.skidx.npz")
+    run_cli(["-o", "index", "-k", "31", str(fasta), idx_path])
+    csv_fused = str(tmp / "out_cs_fused.csv")
+    run_cli(["-o", "quant", idx_path, str(fastq), csv_fused])
+
+    import sketch_rna_tpu.pipeline as pl
+
+    # Push every dataset over the "too big to fuse" edge and force tiny
+    # chunks so several chunk iterations really happen.
+    monkeypatch.setattr(pl, "FUSED_MAX_PADDED_READS", 8)
+    csv_stream = str(tmp / "out_cs_stream.csv")
+    run_cli(
+        ["-o", "quant", "--stream-chunk-reads", "64", idx_path, str(fastq), csv_stream]
+    )
+    with open(csv_fused) as fh:
+        fused_rows = list(csv.DictReader(fh))
+    with open(csv_stream) as fh:
+        stream_rows = list(csv.DictReader(fh))
+    assert [r["Name"] for r in stream_rows] == [r["Name"] for r in fused_rows]
+    for a, b in zip(stream_rows, fused_rows):
+        assert float(a["NumReads"]) == pytest.approx(float(b["NumReads"]), rel=2e-5)
+        assert float(a["EM_Abundance"]) == pytest.approx(
+            float(b["EM_Abundance"]), rel=2e-5
+        )
+
+
 def test_cli_subprocess_smoke(fixture_files):
     """The installed entry point works as a real process."""
     tmp, fasta, fastq, *_ = fixture_files

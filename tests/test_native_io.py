@@ -77,6 +77,57 @@ def test_fastq_native_random_large(tmp_path, rng):
 def test_fastq_native_missing_file():
     with pytest.raises(FileNotFoundError):
         native.pack_fastq_native("/nonexistent/x.fq", min_len=31)
+    with pytest.raises(FileNotFoundError):
+        native.NativeFastqScan("/nonexistent/x.fq", 31)
+
+
+def test_fastq_chunked_iter_matches_whole_pack(tmp_path, rng):
+    """The double-buffered chunk feed (chunks_from_scan) must concatenate
+    to exactly the whole-file pack — same rows, same order, same padding
+    — including when duplicates/invalid records sit near chunk splits
+    (dedup is global, done at scan time, so splits can't affect it)."""
+    n = 1000
+    lines = []
+    for i in range(n):
+        ln = int(rng.integers(40, 120))
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=ln))
+        lines.append(f"@read{i}\n{seq}\n+\n{'I' * ln}\n")
+    # A duplicate of an early read (last wins) + an invalid record.
+    lines.append("@read3\n" + "ACGT" * 20 + "\n+\n" + "I" * 80 + "\n")
+    lines.append("@bad\nACGTN\n+\nIIIII\n")
+    path = write(tmp_path / "c.fq", "".join(lines))
+
+    whole, stats = native.pack_fastq_native(path, min_len=31)
+    for chunk_reads in (64, 999, 4096):
+        got = list(
+            native.iter_fastq_chunks_native(
+                path, 31, chunk_reads, pad_len=whole.padded_len
+            )
+        )
+        assert sum(c.num_reads for c in got) == whole.num_reads
+        np.testing.assert_array_equal(
+            np.concatenate([c.codes for c in got]), whole.codes
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([c.lengths for c in got]), whole.lengths
+        )
+
+
+def test_fastq_scan_pack_range(tmp_path, rng):
+    n = 257
+    lines = []
+    for i in range(n):
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=60))
+        lines.append(f"@r{i}\n{seq}\n+\n{'I' * 60}\n")
+    path = write(tmp_path / "pr.fq", "".join(lines))
+    whole, _ = native.pack_fastq_native(path, min_len=31)
+    with native.NativeFastqScan(path, 31) as scan:
+        assert scan.num_reads == n
+        mid = scan.pack_range(100, 57, whole.padded_len)
+        np.testing.assert_array_equal(mid.codes, whole.codes[100:157])
+        np.testing.assert_array_equal(mid.lengths, whole.lengths[100:157])
+        empty = scan.pack_range(0, 0, whole.padded_len)
+        assert empty.num_reads == 0
 
 
 def test_fastq_native_gzip_matches_python(tmp_path):
