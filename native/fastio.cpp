@@ -167,6 +167,17 @@ struct FastqHandle {
   int64_t max_len = 0;
 };
 
+// FNV-1a 64 over the id bytes (ids are short; quality matters less than
+// per-byte cost).
+inline uint64_t fnv1a(const char* s, int64_t n) {
+  uint64_t h = 1469598103934665603ULL;
+  for (int64_t i = 0; i < n; ++i) {
+    h ^= static_cast<uint8_t>(s[i]);
+    h *= 1099511628211ULL;
+  }
+  return h;
+}
+
 inline std::string_view next_line(const char* data, size_t size, size_t& pos) {
   if (pos >= size) return {};
   size_t start = pos;
@@ -213,6 +224,119 @@ int pack_threaded(const Record* records, int64_t n, int64_t pad_len,
   return 0;
 }
 
+// Align to the first record header at or after `pos`: a line starting
+// '@' whose line-after-next starts '+' — the same probe the Python
+// byte-range parser uses (io/fastq.py _align_to_record) to disambiguate
+// quality lines that begin with '@'.
+size_t align_to_record(const char* data, size_t size, size_t pos) {
+  if (pos > 0) {
+    const char* nl =
+        static_cast<const char*>(memchr(data + pos, '\n', size - pos));
+    if (!nl) return size;
+    pos = static_cast<size_t>(nl - data) + 1;
+  }
+  while (pos < size) {
+    size_t line_start = pos;
+    std::string_view line = next_line(data, size, pos);
+    if (!line.empty() && line[0] == '@') {
+      size_t probe = pos;
+      (void)next_line(data, size, probe);  // sequence
+      std::string_view plus = next_line(data, size, probe);
+      if (!plus.empty() && plus[0] == '+') return line_start;
+    }
+  }
+  return size;
+}
+
+// Parse every record whose HEADER line starts in [begin, end); record
+// bodies may extend past `end`.  Same per-record semantics as the
+// sequential loop (any '@' line opens a record; validation + min_len
+// filter before the record is kept).
+void parse_range(const char* data, size_t size, size_t begin, size_t end,
+                 int64_t min_len, std::vector<Record>& out,
+                 std::vector<uint64_t>& out_hash, int64_t* n_seen,
+                 int64_t* n_invalid) {
+  size_t pos = begin;
+  while (pos < end) {
+    size_t line_start = pos;
+    std::string_view line = next_line(data, size, pos);
+    if (line_start >= end) break;
+    if (line.empty() || line[0] != '@') continue;
+    std::string_view id = line.substr(1);
+    std::string_view seq = next_line(data, size, pos);
+    (void)next_line(data, size, pos);  // '+'
+    (void)next_line(data, size, pos);  // quality
+    (*n_seen)++;
+    if (static_cast<int64_t>(seq.size()) < min_len ||
+        !validate_seq(seq.data(), static_cast<int64_t>(seq.size()))) {
+      (*n_invalid)++;
+      // Reference inserts only VALID reads into the map, so an invalid
+      // duplicate never clobbers an earlier valid record.
+      continue;
+    }
+    out.push_back(Record{seq.data(), static_cast<int64_t>(seq.size()),
+                         id.data(), static_cast<int64_t>(id.size())});
+    out_hash.push_back(fnv1a(id.data(), static_cast<int64_t>(id.size())));
+  }
+}
+
+// Duplicate-ID resolution over the file-ordered record array, matching
+// the sequential map semantics exactly: a duplicate keeps the FIRST
+// occurrence's position but the LAST occurrence's content
+// (recs[first] = last; reference src/main.cpp:150 unordered_map
+// overwrite).  Partitioned by id-hash so P threads dedup concurrently
+// with open-address tables; returns true if any duplicate was found.
+bool dedup_records(const std::vector<Record>& recs,
+                   const std::vector<uint64_t>& hash, int n_threads,
+                   std::vector<int64_t>& winner, std::vector<uint8_t>& drop) {
+  const int64_t n = static_cast<int64_t>(recs.size());
+  winner.assign(n, -1);
+  drop.assign(n, 0);
+  if (n == 0) return false;
+  uint64_t cap = 1;
+  while (cap < static_cast<uint64_t>(n) * 2) cap <<= 1;
+  const int P = n_threads < 1 ? 1 : n_threads;
+  std::vector<uint8_t> any_dup(static_cast<size_t>(P), 0);
+  auto part_worker = [&](int p) {
+    // Open-address table for ids with hash % P == p; value = first index.
+    const uint64_t pcap = cap / (P > 1 ? P / 2 + 1 : 1) + 64;
+    uint64_t c2 = 1;
+    while (c2 < pcap) c2 <<= 1;
+    std::vector<int64_t> slots(c2, -1);
+    const uint64_t mask = c2 - 1;
+    for (int64_t i = 0; i < n; ++i) {
+      if (static_cast<int>(hash[i] % static_cast<uint64_t>(P)) != p) continue;
+      uint64_t s = (hash[i] >> 16) & mask;
+      for (;;) {
+        int64_t j = slots[s];
+        if (j < 0) {
+          slots[s] = i;
+          break;
+        }
+        if (hash[j] == hash[i] && recs[j].id_len == recs[i].id_len &&
+            memcmp(recs[j].id, recs[i].id,
+                   static_cast<size_t>(recs[i].id_len)) == 0) {
+          winner[j] = i;  // later occurrence's content wins
+          drop[i] = 1;
+          any_dup[static_cast<size_t>(p)] = 1;
+          break;
+        }
+        s = (s + 1) & mask;
+      }
+    }
+  };
+  if (P == 1) {
+    part_worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int p = 0; p < P; ++p) pool.emplace_back(part_worker, p);
+    for (auto& th : pool) th.join();
+  }
+  for (uint8_t a : any_dup)
+    if (a) return true;
+  return false;
+}
+
 }  // namespace
 
 extern "C" {
@@ -221,8 +345,10 @@ extern "C" {
 
 // Parse + validate + length-filter + last-wins dedup.  Returns handle or
 // null.  Outputs: n_valid records, n_seen, n_invalid, max kept length.
-void* fastq_open_scan(const char* path, int64_t min_len, int64_t* n_valid,
-                      int64_t* n_seen, int64_t* n_invalid, int64_t* max_len) {
+// n_threads <= 0 selects automatically (parallel scan for big files).
+void* fastq_open_scan_mt(const char* path, int64_t min_len, int n_threads,
+                         int64_t* n_valid, int64_t* n_seen,
+                         int64_t* n_invalid, int64_t* max_len) {
   auto* h = new FastqHandle();
   h->map = map_file(path);
   if (!h->map.ok()) {
@@ -231,35 +357,73 @@ void* fastq_open_scan(const char* path, int64_t min_len, int64_t* n_valid,
   }
   const char* data = h->map.data;
   const size_t size = h->map.size;
-  size_t pos = 0;
-  // id -> slot for last-wins dedup (string_view into the map).
-  std::unordered_map<std::string_view, int64_t> by_id;
+  int T = n_threads;
+  if (T <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    T = size >= (32u << 20) ? static_cast<int>(hw ? hw : 1) : 1;
+  }
+  if (T > 1 && size / static_cast<size_t>(T) < 4096) T = 1;
+
   std::vector<Record> recs;
-  while (pos < size) {
-    std::string_view line = next_line(data, size, pos);
-    if (line.empty() || line[0] != '@') continue;
-    std::string_view id = line.substr(1);
-    std::string_view seq = next_line(data, size, pos);
-    (void)next_line(data, size, pos);  // '+'
-    (void)next_line(data, size, pos);  // quality
-    h->n_seen++;
-    if (static_cast<int64_t>(seq.size()) < min_len ||
-        !validate_seq(seq.data(), static_cast<int64_t>(seq.size()))) {
-      h->n_invalid++;
-      // Reference still overwrites the map slot only for VALID reads
-      // (invalid reads never reach read_sketches); keep that.
-      continue;
+  std::vector<uint64_t> hashes;
+  if (T == 1) {
+    parse_range(data, size, 0, size, min_len, recs, hashes, &h->n_seen,
+                &h->n_invalid);
+  } else {
+    std::vector<std::vector<Record>> trecs(static_cast<size_t>(T));
+    std::vector<std::vector<uint64_t>> thash(static_cast<size_t>(T));
+    std::vector<int64_t> tseen(static_cast<size_t>(T), 0);
+    std::vector<int64_t> tinv(static_cast<size_t>(T), 0);
+    std::vector<size_t> bounds(static_cast<size_t>(T) + 1);
+    bounds[0] = 0;  // file start IS a record boundary by construction
+    for (int t = 1; t < T; ++t)
+      bounds[static_cast<size_t>(t)] =
+          align_to_record(data, size, size * static_cast<size_t>(t) /
+                                          static_cast<size_t>(T));
+    bounds[static_cast<size_t>(T)] = size;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < T; ++t) {
+      pool.emplace_back([&, t]() {
+        parse_range(data, size, bounds[static_cast<size_t>(t)],
+                    bounds[static_cast<size_t>(t) + 1], min_len,
+                    trecs[static_cast<size_t>(t)],
+                    thash[static_cast<size_t>(t)],
+                    &tseen[static_cast<size_t>(t)],
+                    &tinv[static_cast<size_t>(t)]);
+      });
     }
-    Record r{seq.data(), static_cast<int64_t>(seq.size()), id.data(),
-             static_cast<int64_t>(id.size())};
-    auto it = by_id.find(id);
-    if (it != by_id.end()) {
-      recs[it->second] = r;  // last occurrence wins (src/main.cpp:150)
-    } else {
-      by_id.emplace(id, static_cast<int64_t>(recs.size()));
-      recs.push_back(r);
+    for (auto& th : pool) th.join();
+    size_t total = 0;
+    for (auto& v : trecs) total += v.size();
+    recs.reserve(total);
+    hashes.reserve(total);
+    for (int t = 0; t < T; ++t) {  // thread order == file order
+      auto& v = trecs[static_cast<size_t>(t)];
+      auto& hv = thash[static_cast<size_t>(t)];
+      recs.insert(recs.end(), v.begin(), v.end());
+      hashes.insert(hashes.end(), hv.begin(), hv.end());
+      h->n_seen += tseen[static_cast<size_t>(t)];
+      h->n_invalid += tinv[static_cast<size_t>(t)];
     }
   }
+
+  std::vector<int64_t> winner;
+  std::vector<uint8_t> drop;
+  if (dedup_records(recs, hashes, T, winner, drop)) {
+    std::vector<Record> out;
+    out.reserve(recs.size());
+    for (int64_t i = 0; i < static_cast<int64_t>(recs.size()); ++i) {
+      if (drop[static_cast<size_t>(i)]) continue;
+      int64_t w = i;
+      // Chase to the LAST occurrence (a winner may itself have been
+      // superseded by a later duplicate).
+      while (winner[static_cast<size_t>(w)] >= 0)
+        w = winner[static_cast<size_t>(w)];
+      out.push_back(recs[static_cast<size_t>(w)]);
+    }
+    recs = std::move(out);
+  }
+
   for (const Record& r : recs)
     if (r.seq_len > h->max_len) h->max_len = r.seq_len;
   h->records = std::move(recs);
@@ -268,6 +432,12 @@ void* fastq_open_scan(const char* path, int64_t min_len, int64_t* n_valid,
   *n_invalid = h->n_invalid;
   *max_len = h->max_len;
   return h;
+}
+
+void* fastq_open_scan(const char* path, int64_t min_len, int64_t* n_valid,
+                      int64_t* n_seen, int64_t* n_invalid, int64_t* max_len) {
+  return fastq_open_scan_mt(path, min_len, 0, n_valid, n_seen, n_invalid,
+                            max_len);
 }
 
 // Fill caller-allocated codes [n_valid, pad_len] and lengths [n_valid].

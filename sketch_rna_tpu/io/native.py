@@ -72,6 +72,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.fastq_open_scan_mt.restype = ctypes.c_void_p
+        lib.fastq_open_scan_mt.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.fastq_pack.restype = ctypes.c_int
         lib.fastq_pack.argtypes = [
             ctypes.c_void_p,
@@ -191,7 +201,7 @@ class NativeFastqScan:
     chunk boundaries cannot change which reads exist.
     """
 
-    def __init__(self, path: str, min_len: int):
+    def __init__(self, path: str, min_len: int, scan_threads: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError("native fastio unavailable")
@@ -200,9 +210,11 @@ class NativeFastqScan:
         n_seen = ctypes.c_int64()
         n_invalid = ctypes.c_int64()
         max_len = ctypes.c_int64()
-        self._h = lib.fastq_open_scan(
-            path.encode(), min_len, ctypes.byref(n_valid), ctypes.byref(n_seen),
-            ctypes.byref(n_invalid), ctypes.byref(max_len),
+        # scan_threads=0 auto-selects (parallel byte-range scan for big
+        # files, sequential otherwise); >0 forces a count (tests).
+        self._h = lib.fastq_open_scan_mt(
+            path.encode(), min_len, scan_threads, ctypes.byref(n_valid),
+            ctypes.byref(n_seen), ctypes.byref(n_invalid), ctypes.byref(max_len),
         )
         if not self._h:
             raise FileNotFoundError(f"Could not open FASTQ file: {path}")

@@ -113,6 +113,42 @@ def test_fastq_chunked_iter_matches_whole_pack(tmp_path, rng):
         )
 
 
+@pytest.mark.parametrize("threads", [1, 3, 4, 7])
+def test_fastq_parallel_scan_matches_sequential(tmp_path, rng, threads):
+    """The byte-range parallel scan must reproduce the sequential scan
+    exactly: same records, same order, same dedup resolution (first
+    position / last content), with duplicates far apart so they land in
+    different threads' ranges."""
+    n = 4000
+    lines = []
+    for i in range(n):
+        ln = int(rng.integers(40, 120))
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=ln))
+        lines.append(f"@read{i} extra\n{seq}\n+\n{'I' * ln}\n")
+    # Duplicates of EARLY ids appended at the END (cross-thread), one
+    # valid (content must win) and one invalid (must not clobber).
+    lines.append("@read7 extra\n" + "ACGT" * 25 + "\n+\n" + "I" * 100 + "\n")
+    lines.append("@read11 extra\nACGTN\n+\nIIIII\n")
+    # Quality line starting '@' (alignment must not misframe it).
+    lines.append("@qtrap\n" + "ACGT" * 20 + "\n+\n@" + "I" * 79 + "\n")
+    path = write(tmp_path / "mt.fq", "".join(lines))
+
+    def snap(threads):
+        with native.NativeFastqScan(path, 31, scan_threads=threads) as s:
+            p = s.pack_range(0, s.num_reads, 128)
+            return s.num_reads, s.stats, p
+
+    n_seq, stats_seq, p_seq = snap(1)
+    n_mt, stats_mt, p_mt = snap(threads)
+    assert n_mt == n_seq
+    assert stats_mt == stats_seq
+    np.testing.assert_array_equal(p_mt.codes, p_seq.codes)
+    np.testing.assert_array_equal(p_mt.lengths, p_seq.lengths)
+    # And sequential must itself match the Python reference parser.
+    d = load_fastq_dict(path, min_len=31)
+    assert n_seq == len(d)
+
+
 def test_fastq_scan_pack_range(tmp_path, rng):
     n = 257
     lines = []
