@@ -85,7 +85,126 @@ def nthash_sketch_pallas(
     )(codes, lengths.astype(jnp.int32).reshape(B, 1))
 
 
+def _fused_sketch_kernel(
+    codes_ref,
+    lengths_ref,
+    out_ref,
+    drop_ref,
+    *,
+    k: int,
+    nk: int,
+    threshold: int,
+    cap: int,
+    cap_pad: int,
+):
+    """hash -> threshold -> ascending-distinct compaction, one VMEM pass.
+
+    Dedup + compaction run as `cap` min-extraction steps: step s takes
+    the row minimum of all kept hashes STRICTLY GREATER than step s-1's
+    value.  Equal hashes collapse automatically (set semantics) and the
+    output is ascending with the numerically smallest values kept first
+    — exactly dedup_select's semantics — with no row sorts and no HBM
+    intermediates (the [TB, nk] hash tile never leaves VMEM)."""
+    tables = window_tables_u32(k)
+    codes = codes_ref[...].astype(jnp.uint32)
+    TB = codes.shape[0]
+    h = jnp.zeros((TB, nk), dtype=jnp.uint32)
+    for j in range(k):
+        c = codes[:, j : j + nk]
+        b0 = (c & jnp.uint32(1)).astype(jnp.bool_)
+        b1 = (c >> jnp.uint32(1)).astype(jnp.bool_)
+        t0, t1, t2, t3 = (jnp.uint32(int(tables[j, b])) for b in range(4))
+        lo = jnp.where(b0, t1, t0)
+        hi = jnp.where(b0, t3, t2)
+        h = h ^ jnp.where(b1, hi, lo)
+    lengths = lengths_ref[...]  # [TB, 1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (TB, nk), dimension=1)
+    keep = (pos < lengths - (k - 1)) & (h <= jnp.uint32(threshold))
+    h = jnp.where(keep, h, jnp.uint32(_SENTINEL))
+
+    outs = []
+    prev = None
+    for _ in range(cap):
+        if prev is None:
+            m = jnp.min(h, axis=1, keepdims=True)
+        else:
+            m = jnp.min(
+                jnp.where(h > prev, h, jnp.uint32(_SENTINEL)), axis=1, keepdims=True
+            )
+        outs.append(m)
+        prev = m
+    if cap_pad > cap:
+        outs.append(jnp.full((TB, cap_pad - cap), _SENTINEL, jnp.uint32))
+    out_ref[...] = jnp.concatenate(outs, axis=1)
+    # Kept LANES past the cap-th distinct value (multiplicity included;
+    # 0 iff nothing was dropped).  prev == SENTINEL (ran dry) makes the
+    # comparison vacuously false since kept lanes are <= threshold.
+    drop_ref[...] = jnp.sum(
+        ((h != jnp.uint32(_SENTINEL)) & (h > prev)).astype(jnp.int32),
+        axis=1,
+        keepdims=True,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "fraction", "capacity", "block_reads", "interpret")
+)
 def sketch_batch_pallas(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    fraction: float,
+    capacity: int,
+    block_reads: int = 256,
+    interpret: bool = False,
+):
+    """Drop-in replacement for sketch/fracminhash.sketch_batch, fully
+    fused: ntHash windowed XOR + FracMinHash threshold + set-dedup +
+    ascending compaction in ONE Pallas kernel (the two full-width dedup
+    row sorts and their [B, nk] HBM round-trips disappear).
+
+    Sketch values/mask are bit-identical to sketch_batch.  The overflow
+    stat counts dropped kept LANES (duplicates included) rather than
+    dropped distinct values — zero in exactly the same cases.
+    """
+    B, L = codes.shape
+    nk = L - k + 1
+    if B % block_reads != 0:
+        block_reads = B
+    threshold = fracminhash_threshold(fraction)
+    cap_pad = -(-capacity // 128) * 128  # lane-aligned kernel output
+    kernel = functools.partial(
+        _fused_sketch_kernel,
+        k=k,
+        nk=nk,
+        threshold=threshold,
+        cap=capacity,
+        cap_pad=cap_pad,
+    )
+    out, drop = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, cap_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
+        grid=(B // block_reads,),
+        in_specs=[
+            pl.BlockSpec((block_reads, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_reads, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_reads, cap_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((block_reads, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(codes, lengths.astype(jnp.int32).reshape(B, 1))
+    hs = jax.lax.slice_in_dim(out, 0, capacity, axis=1)
+    return hs, hs != jnp.uint32(_SENTINEL), jnp.sum(drop)
+
+
+def sketch_batch_pallas_unfused(
     codes: jnp.ndarray,
     lengths: jnp.ndarray,
     k: int,
@@ -93,8 +212,8 @@ def sketch_batch_pallas(
     capacity: int,
     interpret: bool = False,
 ):
-    """Drop-in replacement for sketch/fracminhash.sketch_batch with the
-    hash+threshold stage as a Pallas kernel; dedup stays as the two row
-    sorts (XLA's row sort is already near-optimal)."""
+    """Earlier variant: Pallas hash+threshold, sort-based dedup outside
+    (kept as a cross-check and for capacities too wide for the fused
+    extraction loop)."""
     hs = nthash_sketch_pallas(codes, lengths, k, fraction, interpret=interpret)
     return dedup_select(hs, capacity)

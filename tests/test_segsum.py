@@ -74,6 +74,46 @@ def _tables(rng, n_rows, width, T, with_weight=True):
     )
 
 
+def test_quantify_segsum_on_matches_off(rng):
+    """Full pipeline with em_segsum forced on (the auto gate only fires
+    on TPU) vs the scatter path: same rows, float32-order-only drift."""
+    import dataclasses
+
+    from sketch_rna_tpu.config import QuantConfig
+    from sketch_rna_tpu.index.build import build_index
+    from sketch_rna_tpu.io.fasta import FastaRecords
+    from sketch_rna_tpu.io.packing import PackedReads
+    from sketch_rna_tpu.pipeline import quantify
+    from sketch_rna_tpu.utils.synth import sample_reads_device, synth_transcriptome
+
+    seqs = synth_transcriptome(rng, 60, len_lo=200, len_hi=600)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    recs = FastaRecords(
+        [f"T{i}" for i in range(len(seqs))],
+        [bases[s].tobytes().decode() for s in seqs],
+        0,
+    )
+    cfg = QuantConfig(
+        kmer_lengths=(31,),
+        batch_size=512,
+        max_read_len=128,
+        em_dtype="float32",
+        em_mxu="off",
+        em_segsum="off",
+    )
+    idx = build_index(recs, cfg)
+    codes, lens = sample_reads_device(seqs, 1500, 100, 128, 3)
+    packed = PackedReads(np.asarray(codes), np.asarray(lens), [])
+    r_off = quantify(idx, packed, cfg)
+    r_on = quantify(idx, packed, dataclasses.replace(cfg, em_segsum="on"))
+    np.testing.assert_array_equal(r_on.has_entry, r_off.has_entry)
+    assert r_on.em_iterations == r_off.em_iterations
+    np.testing.assert_allclose(r_on.pi, r_off.pi, rtol=2e-5, atol=1e-9)
+    np.testing.assert_allclose(
+        r_on.weighted_counts, r_off.weighted_counts, rtol=2e-5, atol=1e-6
+    )
+
+
 @pytest.mark.parametrize("fold", [False, True])
 def test_em_assign_segsum_vs_scatter(rng, fold):
     T = 3000
