@@ -258,9 +258,7 @@ void parse_range(const char* data, size_t size, size_t begin, size_t end,
                  int64_t* n_invalid) {
   size_t pos = begin;
   while (pos < end) {
-    size_t line_start = pos;
     std::string_view line = next_line(data, size, pos);
-    if (line_start >= end) break;
     if (line.empty() || line[0] != '@') continue;
     std::string_view id = line.substr(1);
     std::string_view seq = next_line(data, size, pos);
@@ -293,15 +291,18 @@ bool dedup_records(const std::vector<Record>& recs,
   winner.assign(n, -1);
   drop.assign(n, 0);
   if (n == 0) return false;
-  uint64_t cap = 1;
-  while (cap < static_cast<uint64_t>(n) * 2) cap <<= 1;
-  const int P = n_threads < 1 ? 1 : n_threads;
+  const int P = n_threads < 1 ? 1 : (n_threads > 8 ? 8 : n_threads);
   std::vector<uint8_t> any_dup(static_cast<size_t>(P), 0);
   auto part_worker = [&](int p) {
-    // Open-address table for ids with hash % P == p; value = first index.
-    const uint64_t pcap = cap / (P > 1 ? P / 2 + 1 : 1) + 64;
-    uint64_t c2 = 1;
-    while (c2 < pcap) c2 <<= 1;
+    // Open-address table for ids with hash % P == p; value = first
+    // index.  Sized from this partition's ACTUAL entry count (one cheap
+    // counting pass) at 2x load headroom, so the probe loop always has
+    // empty slots regardless of id-hash skew across partitions.
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; ++i)
+      if (static_cast<int>(hash[i] % static_cast<uint64_t>(P)) == p) count++;
+    uint64_t c2 = 64;
+    while (c2 < static_cast<uint64_t>(count) * 2) c2 <<= 1;
     std::vector<int64_t> slots(c2, -1);
     const uint64_t mask = c2 - 1;
     for (int64_t i = 0; i < n; ++i) {

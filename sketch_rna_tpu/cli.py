@@ -267,6 +267,7 @@ def run_quant(
 
     packed = None
     stream = None
+    stream_scan = None
     if multiproc:
         packed = _load_reads_slice(reads_path, idx, config)
     elif use_native and not sharded:
@@ -281,6 +282,7 @@ def run_quant(
             scan = native.NativeFastqScan(reads_path, max(idx.kmer_lengths))
             pad_len = max(config.max_read_len, ((scan.max_len + 127) // 128) * 128)
             if scan.num_reads > FUSED_MAX_PADDED_READS:
+                stream_scan = scan
                 stream = native.chunks_from_scan(
                     scan, config.stream_chunk_reads, pad_len
                 )
@@ -295,7 +297,13 @@ def run_quant(
     if stream is not None:
         from sketch_rna_tpu.stream import quantify_streamed
 
-        result = quantify_streamed(idx, stream, config)
+        try:
+            result = quantify_streamed(idx, stream, config)
+        finally:
+            # The generator closes the scan once started; an error before
+            # its first iteration would otherwise leak the mmap + record
+            # table (close() is idempotent).
+            stream_scan.close()
     elif sharded or multiproc:
         from sketch_rna_tpu.pipeline import quantify_sharded
 

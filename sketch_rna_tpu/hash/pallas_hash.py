@@ -146,9 +146,12 @@ def _fused_sketch_kernel(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "fraction", "capacity", "block_reads", "interpret")
-)
+# Above this capacity the unrolled min-extraction loop (O(cap * nk) per
+# block + cap-times-larger kernel) loses to the two-row-sort path; long-
+# read configs (sketch_capacity_for grows with L) dispatch there.
+_FUSED_MAX_CAPACITY = 64
+
+
 def sketch_batch_pallas(
     codes: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -158,10 +161,34 @@ def sketch_batch_pallas(
     block_reads: int = 256,
     interpret: bool = False,
 ):
-    """Drop-in replacement for sketch/fracminhash.sketch_batch, fully
-    fused: ntHash windowed XOR + FracMinHash threshold + set-dedup +
-    ascending compaction in ONE Pallas kernel (the two full-width dedup
-    row sorts and their [B, nk] HBM round-trips disappear).
+    """Drop-in replacement for sketch/fracminhash.sketch_batch: the fused
+    kernel for short-read capacities, the hash-kernel + sort-dedup
+    variant beyond _FUSED_MAX_CAPACITY."""
+    if capacity > _FUSED_MAX_CAPACITY:
+        return sketch_batch_pallas_unfused(
+            codes, lengths, k, fraction, capacity, interpret=interpret
+        )
+    return _sketch_batch_pallas_fused(
+        codes, lengths, k, fraction, capacity, block_reads, interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "fraction", "capacity", "block_reads", "interpret")
+)
+def _sketch_batch_pallas_fused(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    fraction: float,
+    capacity: int,
+    block_reads: int = 256,
+    interpret: bool = False,
+):
+    """Fully fused: ntHash windowed XOR + FracMinHash threshold +
+    set-dedup + ascending compaction in ONE Pallas kernel (the two
+    full-width dedup row sorts and their [B, nk] HBM round-trips
+    disappear).
 
     Sketch values/mask are bit-identical to sketch_batch.  The overflow
     stat counts dropped kept LANES (duplicates included) rather than
@@ -212,8 +239,8 @@ def sketch_batch_pallas_unfused(
     capacity: int,
     interpret: bool = False,
 ):
-    """Earlier variant: Pallas hash+threshold, sort-based dedup outside
-    (kept as a cross-check and for capacities too wide for the fused
-    extraction loop)."""
+    """Pallas hash+threshold, sort-based dedup outside — the production
+    path for capacities above _FUSED_MAX_CAPACITY (long reads), and the
+    cross-check for the fused kernel."""
     hs = nthash_sketch_pallas(codes, lengths, k, fraction, interpret=interpret)
     return dedup_select(hs, capacity)

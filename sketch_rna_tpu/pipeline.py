@@ -957,6 +957,12 @@ def _run_em(
     kw["use_segsum"] = resolve_em_segsum(
         config.em_segsum, config.em_dtype, kw["use_mxu"]
     )
+    if kw["use_segsum"]:
+        # ONE lane sort shared by every checkpoint segment (each
+        # run_em_partitioned call would otherwise rebuild it).
+        from sketch_rna_tpu.em.segsum import plan_from_tables
+
+        kw["segsum_plan"] = plan_from_tables(tables, num_transcripts)
     R_dev = jnp.asarray(num_reads, jnp.int32)
     if not config.em_checkpoint:
         pi, iters, _ = run_em_partitioned(
