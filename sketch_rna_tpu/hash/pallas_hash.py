@@ -231,6 +231,121 @@ def _sketch_batch_pallas_fused(
     return hs, hs != jnp.uint32(_SENTINEL), jnp.sum(drop)
 
 
+def _fused_sketch_kernel_multik(
+    codes_ref,
+    lengths_ref,
+    *out_refs,
+    ks: tuple,
+    nks: tuple,
+    threshold: int,
+    caps: tuple,
+    cap_pads: tuple,
+):
+    """Multi-k variant of _fused_sketch_kernel: one codes load, one
+    kernel launch; per k its own windowed XOR + extraction loop.  Output
+    refs are (out_k0, drop_k0, out_k1, drop_k1, ...)."""
+    codes = codes_ref[...].astype(jnp.uint32)
+    lengths = lengths_ref[...]
+    TB = codes.shape[0]
+    for ki, (k, nk, cap, cap_pad) in enumerate(zip(ks, nks, caps, cap_pads)):
+        tables = window_tables_u32(k)
+        h = jnp.zeros((TB, nk), dtype=jnp.uint32)
+        for j in range(k):
+            c = codes[:, j : j + nk]
+            b0 = (c & jnp.uint32(1)).astype(jnp.bool_)
+            b1 = (c >> jnp.uint32(1)).astype(jnp.bool_)
+            t0, t1, t2, t3 = (jnp.uint32(int(tables[j, b])) for b in range(4))
+            lo = jnp.where(b0, t1, t0)
+            hi = jnp.where(b0, t3, t2)
+            h = h ^ jnp.where(b1, hi, lo)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (TB, nk), dimension=1)
+        keep = (pos < lengths - (k - 1)) & (h <= jnp.uint32(threshold))
+        h = jnp.where(keep, h, jnp.uint32(_SENTINEL))
+        outs = []
+        prev = None
+        for _ in range(cap):
+            if prev is None:
+                m = jnp.min(h, axis=1, keepdims=True)
+            else:
+                m = jnp.min(
+                    jnp.where(h > prev, h, jnp.uint32(_SENTINEL)),
+                    axis=1,
+                    keepdims=True,
+                )
+            outs.append(m)
+            prev = m
+        if cap_pad > cap:
+            outs.append(jnp.full((TB, cap_pad - cap), _SENTINEL, jnp.uint32))
+        out_refs[2 * ki][...] = jnp.concatenate(outs, axis=1)
+        out_refs[2 * ki + 1][...] = jnp.sum(
+            ((h != jnp.uint32(_SENTINEL)) & (h > prev)).astype(jnp.int32),
+            axis=1,
+            keepdims=True,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ks", "fraction", "caps", "block_reads", "interpret")
+)
+def sketch_batch_pallas_multik(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    ks: tuple,
+    fraction: float,
+    caps: tuple,
+    block_reads: int = 256,
+    interpret: bool = False,
+):
+    """All k's sketches from ONE fused kernel invocation: the [B, L]
+    codes tile is loaded into VMEM once and every k's hash + threshold +
+    dedup-compaction runs over it in the same pass.  Returns a tuple of
+    (hashes, mask, n_overflow) per k, each bit-identical to
+    sketch_batch(codes, lengths, k, fraction, cap)."""
+    B, L = codes.shape
+    if B % block_reads != 0:
+        block_reads = B
+    threshold = fracminhash_threshold(fraction)
+    nks = tuple(L - k + 1 for k in ks)
+    cap_pads = tuple(-(-c // 128) * 128 for c in caps)
+    kernel = functools.partial(
+        _fused_sketch_kernel_multik,
+        ks=ks,
+        nks=nks,
+        threshold=threshold,
+        caps=caps,
+        cap_pads=cap_pads,
+    )
+    out_shape = []
+    out_specs = []
+    for cap_pad in cap_pads:
+        out_shape.append(jax.ShapeDtypeStruct((B, cap_pad), jnp.uint32))
+        out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec(
+                (block_reads, cap_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec((block_reads, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=(B // block_reads,),
+        in_specs=[
+            pl.BlockSpec((block_reads, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_reads, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(codes, lengths.astype(jnp.int32).reshape(B, 1))
+    result = []
+    for ki, cap in enumerate(caps):
+        hs = jax.lax.slice_in_dim(outs[2 * ki], 0, cap, axis=1)
+        result.append((hs, hs != jnp.uint32(_SENTINEL), jnp.sum(outs[2 * ki + 1])))
+    return tuple(result)
+
+
 def sketch_batch_pallas_unfused(
     codes: jnp.ndarray,
     lengths: jnp.ndarray,

@@ -49,8 +49,7 @@ from sketch_rna_tpu.em.classes import (
     group_candidate_rows_meta,
     plan_class_tables,
 )
-from sketch_rna_tpu.hash.pallas_hash import sketch_batch_pallas
-from sketch_rna_tpu.sketch.fracminhash import sketch_batch
+from sketch_rna_tpu.sketch.dispatch import sketch_all_k
 
 # NOTE: modules used inside jitted function bodies MUST be imported at
 # module scope.  A lazy `import` inside a traced function initializes
@@ -141,11 +140,13 @@ def _event_totals_sorted(
     per-read max-per-k kept-hash counts, ascending.  The first sizes the
     tiered EXPANSION windows; the second sizes the tiered PROBE width
     (sketch_match_step probe_width)."""
-    _sketch = sketch_batch_pallas if use_pallas_sketch else sketch_batch
+    sketches = sketch_all_k(
+        codes, lengths, kmer_lengths, sketch_fraction, sketch_caps,
+        use_pallas=use_pallas_sketch,
+    )
     tk = None
     nk = None
-    for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
-        h, m, _ = _sketch(codes, lengths, k, sketch_fraction, cap)
+    for ki, (h, m, _) in enumerate(sketches):
         shift, mb = bucket_meta[ki]
         _start, length = bucket_lookup(h, m, index_packed[ki], shift=shift, mb=mb)
         t = jnp.sum(length, axis=1)
@@ -288,7 +289,6 @@ def sketch_match_step(
     (calibration drift) are counted into expand_dropped_pretail, which
     triggers the callers' exact flat fallback — never silent.
     """
-    _sketch = sketch_batch_pallas if use_pallas_sketch else sketch_batch
     K = len(kmer_lengths)
     B = codes.shape[0]
     probe_tiered = (
@@ -298,8 +298,10 @@ def sketch_match_step(
         and probe_width < max(sketch_caps)
     )
     overflows, hs, ms = [], [], []
-    for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
-        h, m, ov = _sketch(codes, lengths, k, sketch_fraction, cap)
+    for h, m, ov in sketch_all_k(
+        codes, lengths, kmer_lengths, sketch_fraction, sketch_caps,
+        use_pallas=use_pallas_sketch,
+    ):
         overflows.append(ov)
         hs.append(h)
         ms.append(m)

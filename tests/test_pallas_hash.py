@@ -41,6 +41,22 @@ def test_pallas_unfused_sketch_matches_jnp(rng, k):
     assert int(a_ov) == int(b_ov)
 
 
+def test_pallas_multik_matches_jnp(rng):
+    """One multi-k kernel launch == per-k sketch_batch, bit-identical."""
+    from sketch_rna_tpu.hash.pallas_hash import sketch_batch_pallas_multik
+
+    B, L = 32, 160
+    ks, caps = (21, 31), (24, 24)
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    lengths = rng.integers(31, L + 1, size=B).astype(np.int32)
+    got = sketch_batch_pallas_multik(codes, lengths, ks, 0.05, caps, interpret=True)
+    for (g_h, g_m, g_ov), k, cap in zip(got, ks, caps):
+        a_h, a_m, a_ov = sketch_batch(codes, lengths, k, 0.05, cap)
+        np.testing.assert_array_equal(np.asarray(a_h), np.asarray(g_h))
+        np.testing.assert_array_equal(np.asarray(a_m), np.asarray(g_m))
+        assert int(a_ov) == int(g_ov) == 0
+
+
 def test_pallas_fused_sketch_overflow(rng):
     """With a tiny capacity the fused kernel must keep the numerically
     smallest distinct hashes (exactly dedup_select) and report a nonzero
