@@ -253,8 +253,11 @@ def run_quant(
 
         samples = {}
         for fq in reads_path.split(","):
-            packed_s = _load_reads(fq, idx, config, use_native)
-            samples[os.path.splitext(os.path.basename(fq))[0]] = packed_s
+            # Lazy loader: each sample parses/packs only when quantified
+            # (quantify_samples), so host RAM holds one pack at a time.
+            samples[os.path.splitext(os.path.basename(fq))[0]] = (
+                lambda fq=fq: _load_reads(fq, idx, config, use_native)
+            )
         print("Loading read completed")
         results = quantify_samples(idx, samples, config)
         stem, ext = os.path.splitext(output_path)

@@ -1390,7 +1390,13 @@ def quantify_samples(
     axis is samples-per-host, each host running this loop on its share.
     """
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
-    return {name: quantify(index, packed, config) for name, packed in samples.items()}
+    out: Dict[str, QuantResult] = {}
+    for name, packed in samples.items():
+        # A callable defers the parse+pack until this sample's turn, so
+        # N samples never hold N whole-file packs in host RAM at once
+        # (config 5: 8 x 50M reads would otherwise be ~100 GB).
+        out[name] = quantify(index, packed() if callable(packed) else packed, config)
+    return out
 
 
 def format_cpp_double(v: float) -> str:
