@@ -27,7 +27,6 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sketch_rna_tpu.config import QuantConfig
-from sketch_rna_tpu.em.em import resolve_em_mxu
 from sketch_rna_tpu.index.artifact import IndexArtifact
 from sketch_rna_tpu.io.packing import PackedReads
 
@@ -48,15 +47,23 @@ def quantify_sharded_multihost(
     config: Optional[QuantConfig] = None,
     mesh=None,
 ):
-    """Sharded quant where each process supplies only ITS read slice.
+    """Sharded STREAMING quant where each process supplies only ITS read
+    slice: the same scan-chunked engine as the single-process path
+    (pipeline._sharded_stream_core) run SPMD across hosts, so HBM stays
+    O(chunk + class buffer) at any per-host read count.
 
     All processes must call this collectively (same index, same config).
-    Returns the replicated QuantResult on every process.
+    Static program parameters that depend on data (tier widths) are made
+    identical everywhere via an allgather-max consensus.  Returns the
+    replicated QuantResult on every process.
     """
     from sketch_rna_tpu.dist.mesh import make_mesh, mesh_factor
-    from sketch_rna_tpu.dist.quant_sharded import quant_step_sharded
-    from sketch_rna_tpu.index.shard import shard_index_arrays
-    from sketch_rna_tpu.pipeline import QuantResult, _empty_result
+    from sketch_rna_tpu.pipeline import (
+        _device_index,
+        _empty_result,
+        _sharded_stream_core,
+        _tier_widths_for,
+    )
 
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
     n_proc = jax.process_count()
@@ -64,12 +71,12 @@ def quantify_sharded_multihost(
         dp, ip = mesh_factor(len(jax.devices()))
         mesh = make_mesh(dp, ip)
     dp = mesh.shape["data"]
-    ip = mesh.shape["index"]
     if dp % n_proc:
         raise ValueError(
             f"data axis {dp} must divide evenly across {n_proc} processes"
         )
     dp_local = dp // n_proc
+    Bl = config.batch_size
 
     # Control plane: local row counts and pad widths -> common shapes.
     local_R = local_packed.num_reads
@@ -80,8 +87,9 @@ def quantify_sharded_multihost(
         return _empty_result(index)
     L = max(int(meta[:, 1].max()), 128)
     max_local = int(meta[:, 0].max())
-    rows_local = ((max_local + dp_local - 1) // dp_local) * dp_local
-    rows_local = max(rows_local, dp_local)
+    step_rows = Bl * dp_local  # this process's rows per scan step
+    nb = max(-(-max_local // step_rows), 1)
+    rows_local = nb * step_rows
 
     codes = np.zeros((rows_local, L), np.uint8)
     lengths = np.zeros(rows_local, np.int32)
@@ -89,54 +97,31 @@ def quantify_sharded_multihost(
         codes[:local_R, :local_L] = np.asarray(local_packed.codes)
         lengths[:local_R] = np.asarray(local_packed.lengths)
 
-    data_sharding = NamedSharding(mesh, P("data", None))
-    codes_g = jax.make_array_from_process_local_data(data_sharding, codes)
-    lengths_g = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P("data")), lengths
-    )
-
-    shards = shard_index_arrays(index, ip)
+    # Tier widths are STATIC shard_map parameters: calibrate on the local
+    # sample, then take the cross-process max so every process compiles
+    # the identical program (wider windows only add padding).
     ks = tuple(index.kmer_lengths)
-    keys = tuple(shards[k][0] for k in ks)
-    row_ptr = tuple(shards[k][1] for k in ks)
-    postings = tuple(shards[k][2] for k in ks)
     caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
-
-    pi, weighted, has_entry, iters, stats = quant_step_sharded(
-        codes_g,
-        lengths_g,
-        keys,
-        row_ptr,
-        postings,
-        jnp.asarray(R_global, jnp.int32),
-        mesh=mesh,
-        kmer_lengths=ks,
-        sketch_fraction=config.sketch_fraction,
-        sketch_caps=caps,
-        chain_fraction=config.chain_fraction,
-        expand_per_read=config.expand_per_read,
-        candidate_capacity=config.candidate_capacity,
-        num_transcripts=index.num_transcripts,
-        em_max_iterations=config.em_max_iterations,
-        em_convergence=config.em_convergence,
-        pseudocount=config.pseudocount,
-        em_epsilon=config.em_epsilon,
-        em_dtype=config.em_dtype,
-        use_mxu=resolve_em_mxu(
-            config.em_mxu,
-            index.num_transcripts,
-            codes_g.shape[0] * config.candidate_capacity,
-            config.em_dtype,
-        ),
+    bpacked, _post, bucket_meta = _device_index(index, ks)
+    widths, _probe_w = _tier_widths_for(
+        index, local_packed, config, bpacked, bucket_meta, caps, ks, L
     )
-    host_stats = {k: int(np.asarray(v).sum()) for k, v in stats.items()}
-    return QuantResult(
-        names=list(index.names),
-        pi=np.asarray(pi),
-        weighted_counts=np.asarray(weighted),
-        has_entry=np.asarray(has_entry),
-        em_iterations=int(iters),
-        num_reads=R_global,
-        stats=host_stats,
-        lengths=np.asarray(index.lengths),
+    wmeta = _allgather_host_ints(list(widths) + [nb])
+    widths = tuple(int(x) for x in wmeta.max(axis=0)[: len(widths)])
+    nb = int(wmeta.max(axis=0)[-1])
+    if rows_local < nb * step_rows:  # another host had more chunks
+        pad = nb * step_rows - rows_local
+        codes = np.concatenate([codes, np.zeros((pad, L), np.uint8)])
+        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+
+    codes_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, "data", None)),
+        codes.reshape(nb, step_rows, L),
+    )
+    lengths_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, "data")),
+        lengths.reshape(nb, step_rows),
+    )
+    return _sharded_stream_core(
+        index, config, mesh, codes_g, lengths_g, R_global, widths, nb
     )

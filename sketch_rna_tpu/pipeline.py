@@ -1228,8 +1228,6 @@ def quantify_sharded(
     import jax
 
     from sketch_rna_tpu.dist.mesh import make_mesh, mesh_factor
-    from sketch_rna_tpu.dist.quant_stream import em_assign_sharded, stream_sharded_scan
-    from sketch_rna_tpu.index.shard import shard_index_arrays
 
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
     if jax.process_count() > 1:
@@ -1259,11 +1257,7 @@ def quantify_sharded(
     codes_all = codes.reshape(nb, Bg, L)
     lengths_all = lengths.reshape(nb, Bg)
 
-    shards = shard_index_arrays(index, ip)
     ks = tuple(index.kmer_lengths)
-    keys = tuple(jnp.asarray(shards[k][0]) for k in ks)
-    row_ptr = tuple(jnp.asarray(shards[k][1]) for k in ks)
-    postings = tuple(jnp.asarray(shards[k][2]) for k in ks)
     caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
     # Tier calibration uses the UNSHARDED index probe: its totals are the
     # global per-read event counts — exactly the sharded tier key.
@@ -1271,6 +1265,39 @@ def quantify_sharded(
     widths, _probe_w = _tier_widths_for(
         index, packed, config, bpacked, bucket_meta, caps, ks, L
     )
+    return _sharded_stream_core(
+        index, config, mesh, codes_all, lengths_all, R, widths, nb
+    )
+
+
+def _sharded_stream_core(
+    index: IndexArtifact,
+    config: QuantConfig,
+    mesh,
+    codes_all,
+    lengths_all,
+    R: int,
+    widths,
+    nb: int,
+) -> QuantResult:
+    """The sharded streaming engine proper, shared by the single-process
+    path (device-local arrays) and the multi-host path (global arrays
+    from jax.make_array_from_process_local_data with the SAME shardings
+    the shard_map in_specs declare).  All static arguments (widths, pad
+    plan) must be identical on every process — callers establish that
+    via allgather consensus before calling."""
+    from sketch_rna_tpu.dist.quant_stream import em_assign_sharded, stream_sharded_scan
+    from sketch_rna_tpu.index.shard import shard_index_arrays
+
+    ip = mesh.shape["index"]
+    Bl = config.batch_size
+    L = int(codes_all.shape[2])
+    shards = shard_index_arrays(index, ip)
+    ks = tuple(index.kmer_lengths)
+    keys = tuple(jnp.asarray(shards[k][0]) for k in ks)
+    row_ptr = tuple(jnp.asarray(shards[k][1]) for k in ks)
+    postings = tuple(jnp.asarray(shards[k][2]) for k in ks)
+    caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
     m_cap = min(
         max(config.stream_class_capacity, 2 * Bl),
         max(_round_up(nb * Bl, 1024), 2 * Bl),
