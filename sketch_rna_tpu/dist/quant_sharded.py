@@ -16,6 +16,14 @@ Per-device flow (SURVEY.md §5 "Distributed communication backend"):
   6. soft assignment with the final pi, again psum over "data".
 
 Outputs (pi, weighted counts, has_entry, iters) are fully replicated.
+
+ROLE: cross-check formulation.  Production sharded quant (single-process
+AND multi-host) runs the scan-chunked STREAMING engine
+(dist/quant_stream.py via pipeline._sharded_stream_core), which bounds
+HBM at any read count.  This whole-batch step stays as the simplest
+complete statement of the collective semantics — tests/test_sharded.py
+pins it bit-identical to the single-device path, guarding the streaming
+engine's psum/all_gather structure against drift.
 """
 
 from __future__ import annotations
