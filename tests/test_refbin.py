@@ -47,6 +47,42 @@ def test_refbin_without_sequences_recovers_nothing_but_loads(tmp_path):
     np.testing.assert_array_equal(idx2.lengths, idx.lengths)  # real lengths kept
 
 
+def test_refbin_roundtrip_large_synthetic(tmp_path):
+    """Format robustness at GENCODE-like sizes (DESIGN gap: refbin
+    untested at scale): 20k transcripts, ~600k keys, ~1.3M postings —
+    synthetic CSR arrays so no index build is needed."""
+    from sketch_rna_tpu.index.artifact import IndexArtifact, KIndex
+
+    rng = np.random.default_rng(5)
+    T, U = 20_000, 600_000
+    names = [f"ENST{i:011d}.1" for i in range(T)]
+    lengths = rng.integers(200, 90_000, T).astype(np.int32)
+    per_k = {}
+    for k in (21, 31):
+        keys = np.sort(
+            rng.choice(np.arange(0, 1 << 32, 7000, dtype=np.uint64), U, replace=False)
+        ).astype(np.uint32)
+        deg = rng.geometric(0.55, U).astype(np.int32)
+        row_ptr = np.zeros(U + 1, np.int32)
+        np.cumsum(deg, out=row_ptr[1:])
+        postings = rng.integers(0, T, int(row_ptr[-1])).astype(np.int32)
+        # ascending within each row, like the builder emits (and the
+        # refbin reader re-establishes)
+        row_ids = np.repeat(np.arange(U), deg)
+        postings = postings[np.lexsort((postings, row_ids))]
+        per_k[k] = KIndex(keys, row_ptr, postings)
+    idx = IndexArtifact(names, lengths, (21, 31), 0.05, per_k)
+    path = str(tmp_path / "big.bin")
+    write_refbin_index(path, idx)
+    idx2 = read_refbin_index(path)
+    assert idx2.names == names
+    np.testing.assert_array_equal(idx2.lengths, lengths)
+    for k in (21, 31):
+        np.testing.assert_array_equal(idx2.per_k[k].keys, per_k[k].keys)
+        np.testing.assert_array_equal(idx2.per_k[k].row_ptr, per_k[k].row_ptr)
+        np.testing.assert_array_equal(idx2.per_k[k].postings, per_k[k].postings)
+
+
 def test_load_any_index_detects_format(tmp_path):
     idx, recs = make_idx(tmp_path)
     npz = str(tmp_path / "a.skidx.npz")
