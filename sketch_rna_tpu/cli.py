@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reads per chunk for the big-dataset streaming path "
                    "(default 1M); chunks are parsed/packed on the host while "
                    "the device matches the previous chunk")
+    p.add_argument("--stream-class-capacity", type=int, default=None,
+                   help="streaming class-buffer rows (default 1M; bounds "
+                   "DISTINCT candidate profiles held on device — overflow "
+                   "drops batches and is counted, never silent)")
     return p
 
 
@@ -133,6 +137,11 @@ def _config_from_args(args, kmer_lengths) -> QuantConfig:
         **(
             {"stream_chunk_reads": args.stream_chunk_reads}
             if args.stream_chunk_reads
+            else {}
+        ),
+        **(
+            {"stream_class_capacity": args.stream_class_capacity}
+            if args.stream_class_capacity
             else {}
         ),
     )

@@ -86,8 +86,12 @@ class QuantConfig:
     em_fold_singletons: bool = True
     # Streaming path: class-buffer row capacity (bounds DISTINCT candidate
     # profiles, i.e. transcriptome ambiguity — not read count) and reads
-    # per host->device super-chunk.
-    stream_class_capacity: int = 1 << 17
+    # per host->device super-chunk.  1M rows ~ 0.5 GB HBM at C=64;
+    # GENCODE-scale runs produce several hundred thousand distinct
+    # classes (overflow drops whole batches — counted, never silent).
+    # Buffers are additionally bounded by the dataset's own row count
+    # when it is known up front.
+    stream_class_capacity: int = 1 << 20
     stream_chunk_reads: int = 1 << 20
     # Mid-run EM checkpointing: save (pi, iteration) to this path every
     # em_checkpoint_every iterations and resume from it when present.

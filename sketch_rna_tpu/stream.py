@@ -240,6 +240,9 @@ def quantify_streamed(
     B = config.batch_size
     C = config.candidate_capacity
     m_cap = max(config.stream_class_capacity, 2 * B)
+    if isinstance(reads, PackedReads):
+        # Known row count: the buffer never needs more rows than reads.
+        m_cap = min(m_cap, max(((reads.num_reads + 1023) // 1024) * 1024, 2 * B))
     T = index.num_transcripts
 
     buf_tid = jnp.zeros((m_cap, C), jnp.int32)
