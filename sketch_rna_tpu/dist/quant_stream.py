@@ -43,7 +43,7 @@ from sketch_rna_tpu.match.rowmatch import (
     row_expand_from_runs,
     tier_plan,
 )
-from sketch_rna_tpu.sketch.fracminhash import sketch_batch
+from sketch_rna_tpu.sketch.dispatch import sketch_all_k
 
 
 def _match_chunk_sharded(
@@ -62,6 +62,7 @@ def _match_chunk_sharded(
     num_transcripts,
     match_tiers,
     tier_widths,
+    use_pallas_sketch=False,
 ):
     """One chunk on one (data, index) device: local-shard matching with
     the cross-shard event merge.  Returns (tid, score, mask, drops[K],
@@ -71,8 +72,12 @@ def _match_chunk_sharded(
     C = candidate_capacity
 
     starts, lens, sk_ovs = [], [], []
-    for ki, (k, cap) in enumerate(zip(kmer_lengths, sketch_caps)):
-        h, m, ov = sketch_batch(codes, lengths, k, sketch_fraction, cap)
+    for ki, (h, m, ov) in enumerate(
+        sketch_all_k(
+            codes, lengths, kmer_lengths, sketch_fraction, sketch_caps,
+            use_pallas=use_pallas_sketch,
+        )
+    ):
         sk_ovs.append(ov)
         st, ln = lookup_postings(h, m, lkeys[ki], lrp[ki])
         starts.append(st)
@@ -160,6 +165,7 @@ def _match_chunk_sharded(
         "m_cap",
         "narrow_width",
         "mid_width",
+        "use_pallas_sketch",
     ),
 )
 def stream_sharded_scan(
@@ -182,6 +188,7 @@ def stream_sharded_scan(
     m_cap: int = 1 << 17,
     narrow_width: int = 4,
     mid_width: int = 8,
+    use_pallas_sketch: bool = False,
 ):
     """Program 1: chunked match into per-device class buffers.
 
@@ -224,6 +231,7 @@ def stream_sharded_scan(
                 num_transcripts=num_transcripts,
                 match_tiers=match_tiers,
                 tier_widths=tier_widths,
+                use_pallas_sketch=use_pallas_sketch,
             )
             score = jnp.where(mask, score, 0)
             bt, bs, bw, fl = jax.lax.cond(

@@ -1323,6 +1323,7 @@ def _sharded_stream_core(
             m_cap=m_cap,
             narrow_width=_EM_NARROW_WIDTH,
             mid_width=_EM_MID_WIDTH,
+            use_pallas_sketch=config.use_pallas_sketch,
         )
 
     bt, bs, bw, scalars, dropped, sk_ov = run(config.match_tiers)
