@@ -310,7 +310,9 @@ def run_quant(
         from sketch_rna_tpu.stream import quantify_streamed
 
         try:
-            result = quantify_streamed(idx, stream, config)
+            result = quantify_streamed(
+                idx, stream, config, num_reads_hint=stream_scan.num_reads
+            )
         finally:
             # The generator closes the scan once started; an error before
             # its first iteration would otherwise leak the mmap + record

@@ -209,13 +209,16 @@ def quantify_streamed(
     index: IndexArtifact,
     reads: Union[PackedReads, Iterable[PackedReads]],
     config: Optional[QuantConfig] = None,
+    num_reads_hint: Optional[int] = None,
 ):
     """Full quant over a read stream with O(m_cap) device memory.
 
     reads: a PackedReads (sliced into super-chunks internally) or an
     iterator of PackedReads chunks (the chunked-parser feed — host packs
     chunk c+1 while the device matches chunk c, since dispatch is
-    async).  Returns the same QuantResult as pipeline.quantify.
+    async).  num_reads_hint (iterator feeds) lets the class buffer stay
+    no larger than the dataset.  Returns the same QuantResult as
+    pipeline.quantify.
     """
     from sketch_rna_tpu.pipeline import (
         QuantResult,
@@ -240,9 +243,12 @@ def quantify_streamed(
     B = config.batch_size
     C = config.candidate_capacity
     m_cap = max(config.stream_class_capacity, 2 * B)
-    if isinstance(reads, PackedReads):
+    known_R = (
+        reads.num_reads if isinstance(reads, PackedReads) else num_reads_hint
+    )
+    if known_R is not None:
         # Known row count: the buffer never needs more rows than reads.
-        m_cap = min(m_cap, max(((reads.num_reads + 1023) // 1024) * 1024, 2 * B))
+        m_cap = min(m_cap, max(((known_R + 1023) // 1024) * 1024, 2 * B))
     T = index.num_transcripts
 
     buf_tid = jnp.zeros((m_cap, C), jnp.int32)
