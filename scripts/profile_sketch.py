@@ -25,6 +25,7 @@ enable_compilation_cache()
 from sketch_rna_tpu.config import QuantConfig
 from sketch_rna_tpu.hash.pallas_hash import (
     _sketch_batch_pallas_fused,
+    sketch_batch_pallas_multik,
     sketch_batch_pallas_unfused,
 )
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
@@ -73,3 +74,25 @@ for k in ks:
 
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     print("   fused == jnp: OK", flush=True)
+
+if len(ks) > 1:
+    # The production multi-k path: every k's sketch from ONE launch.
+    all_caps = tuple(cfg.sketch_capacity_for(k, L) for k in ks)
+    print(f"-- multi-k {ks} caps={all_caps}", flush=True)
+
+    def all_jnp():
+        return tuple(
+            sketch_batch(codes, lengths, k, 0.05, c) for k, c in zip(ks, all_caps)
+        )
+
+    timeit("jnp per-k (hash + 2 sorts each)", jax.jit(all_jnp))
+    jit_mk = jax.jit(
+        lambda c, l: sketch_batch_pallas_multik(c, l, ks, 0.05, all_caps)
+    )
+    timeit("multi-k fused pallas (1 launch)", lambda: jit_mk(codes, lengths))
+    import numpy as np
+
+    for (g, _m, _o), k, cap in zip(jit_mk(codes, lengths), ks, all_caps):
+        a = sketch_batch(codes, lengths, k, 0.05, cap)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(g))
+    print("   multik == jnp: OK", flush=True)

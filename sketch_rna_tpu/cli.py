@@ -262,6 +262,9 @@ def run_quant(
 
         samples = {}
         for fq in reads_path.split(","):
+            # Fail fast on missing inputs even though parsing is lazy.
+            if not os.path.exists(fq):
+                raise FileNotFoundError(f"Could not open FASTQ file: {fq}")
             # Lazy loader: each sample parses/packs only when quantified
             # (quantify_samples), so host RAM holds one pack at a time.
             samples[os.path.splitext(os.path.basename(fq))[0]] = (

@@ -106,13 +106,10 @@ def quantify_sharded_multihost(
     widths, _probe_w = _tier_widths_for(
         index, local_packed, config, bpacked, bucket_meta, caps, ks, L
     )
-    wmeta = _allgather_host_ints(list(widths) + [nb])
-    widths = tuple(int(x) for x in wmeta.max(axis=0)[: len(widths)])
-    nb = int(wmeta.max(axis=0)[-1])
-    if rows_local < nb * step_rows:  # another host had more chunks
-        pad = nb * step_rows - rows_local
-        codes = np.concatenate([codes, np.zeros((pad, L), np.uint8)])
-        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+    # nb needs no extra consensus: it derives from max_local, which is
+    # already the cross-process max (meta is allgathered above).
+    wmeta = _allgather_host_ints(list(widths))
+    widths = tuple(int(x) for x in wmeta.max(axis=0))
 
     codes_g = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(None, "data", None)),

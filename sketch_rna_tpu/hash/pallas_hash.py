@@ -85,28 +85,21 @@ def nthash_sketch_pallas(
     )(codes, lengths.astype(jnp.int32).reshape(B, 1))
 
 
-def _fused_sketch_kernel(
-    codes_ref,
-    lengths_ref,
-    out_ref,
-    drop_ref,
-    *,
-    k: int,
-    nk: int,
-    threshold: int,
-    cap: int,
-    cap_pad: int,
-):
-    """hash -> threshold -> ascending-distinct compaction, one VMEM pass.
+def _fused_sketch_one_k(codes, lengths, *, k, nk, threshold, cap, cap_pad):
+    """hash -> threshold -> ascending-distinct compaction for one k, all
+    in registers/VMEM.  Shared by the single-k and multi-k kernels.
 
     Dedup + compaction run as `cap` min-extraction steps: step s takes
     the row minimum of all kept hashes STRICTLY GREATER than step s-1's
     value.  Equal hashes collapse automatically (set semantics) and the
     output is ascending with the numerically smallest values kept first
     — exactly dedup_select's semantics — with no row sorts and no HBM
-    intermediates (the [TB, nk] hash tile never leaves VMEM)."""
+    intermediates (the [TB, nk] hash tile never leaves VMEM).
+
+    Returns (out [TB, cap_pad] uint32, drop [TB, 1] int32) where drop
+    counts kept LANES past the cap-th distinct value (multiplicity
+    included; 0 iff nothing was dropped)."""
     tables = window_tables_u32(k)
-    codes = codes_ref[...].astype(jnp.uint32)
     TB = codes.shape[0]
     h = jnp.zeros((TB, nk), dtype=jnp.uint32)
     for j in range(k):
@@ -117,7 +110,6 @@ def _fused_sketch_kernel(
         lo = jnp.where(b0, t1, t0)
         hi = jnp.where(b0, t3, t2)
         h = h ^ jnp.where(b1, hi, lo)
-    lengths = lengths_ref[...]  # [TB, 1]
     pos = jax.lax.broadcasted_iota(jnp.int32, (TB, nk), dimension=1)
     keep = (pos < lengths - (k - 1)) & (h <= jnp.uint32(threshold))
     h = jnp.where(keep, h, jnp.uint32(_SENTINEL))
@@ -135,15 +127,35 @@ def _fused_sketch_kernel(
         prev = m
     if cap_pad > cap:
         outs.append(jnp.full((TB, cap_pad - cap), _SENTINEL, jnp.uint32))
-    out_ref[...] = jnp.concatenate(outs, axis=1)
-    # Kept LANES past the cap-th distinct value (multiplicity included;
-    # 0 iff nothing was dropped).  prev == SENTINEL (ran dry) makes the
-    # comparison vacuously false since kept lanes are <= threshold.
-    drop_ref[...] = jnp.sum(
+    # prev == SENTINEL (ran dry) makes the drop comparison vacuously
+    # false since kept lanes are <= threshold.
+    drop = jnp.sum(
         ((h != jnp.uint32(_SENTINEL)) & (h > prev)).astype(jnp.int32),
         axis=1,
         keepdims=True,
     )
+    return jnp.concatenate(outs, axis=1), drop
+
+
+def _fused_sketch_kernel(
+    codes_ref,
+    lengths_ref,
+    out_ref,
+    drop_ref,
+    *,
+    k: int,
+    nk: int,
+    threshold: int,
+    cap: int,
+    cap_pad: int,
+):
+    codes = codes_ref[...].astype(jnp.uint32)
+    out, drop = _fused_sketch_one_k(
+        codes, lengths_ref[...], k=k, nk=nk, threshold=threshold, cap=cap,
+        cap_pad=cap_pad,
+    )
+    out_ref[...] = out
+    drop_ref[...] = drop
 
 
 # Above this capacity the unrolled min-extraction loop (O(cap * nk) per
@@ -242,46 +254,18 @@ def _fused_sketch_kernel_multik(
     cap_pads: tuple,
 ):
     """Multi-k variant of _fused_sketch_kernel: one codes load, one
-    kernel launch; per k its own windowed XOR + extraction loop.  Output
-    refs are (out_k0, drop_k0, out_k1, drop_k1, ...)."""
+    kernel launch; per k its own windowed XOR + extraction loop (the
+    shared _fused_sketch_one_k body).  Output refs are
+    (out_k0, drop_k0, out_k1, drop_k1, ...)."""
     codes = codes_ref[...].astype(jnp.uint32)
     lengths = lengths_ref[...]
-    TB = codes.shape[0]
     for ki, (k, nk, cap, cap_pad) in enumerate(zip(ks, nks, caps, cap_pads)):
-        tables = window_tables_u32(k)
-        h = jnp.zeros((TB, nk), dtype=jnp.uint32)
-        for j in range(k):
-            c = codes[:, j : j + nk]
-            b0 = (c & jnp.uint32(1)).astype(jnp.bool_)
-            b1 = (c >> jnp.uint32(1)).astype(jnp.bool_)
-            t0, t1, t2, t3 = (jnp.uint32(int(tables[j, b])) for b in range(4))
-            lo = jnp.where(b0, t1, t0)
-            hi = jnp.where(b0, t3, t2)
-            h = h ^ jnp.where(b1, hi, lo)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (TB, nk), dimension=1)
-        keep = (pos < lengths - (k - 1)) & (h <= jnp.uint32(threshold))
-        h = jnp.where(keep, h, jnp.uint32(_SENTINEL))
-        outs = []
-        prev = None
-        for _ in range(cap):
-            if prev is None:
-                m = jnp.min(h, axis=1, keepdims=True)
-            else:
-                m = jnp.min(
-                    jnp.where(h > prev, h, jnp.uint32(_SENTINEL)),
-                    axis=1,
-                    keepdims=True,
-                )
-            outs.append(m)
-            prev = m
-        if cap_pad > cap:
-            outs.append(jnp.full((TB, cap_pad - cap), _SENTINEL, jnp.uint32))
-        out_refs[2 * ki][...] = jnp.concatenate(outs, axis=1)
-        out_refs[2 * ki + 1][...] = jnp.sum(
-            ((h != jnp.uint32(_SENTINEL)) & (h > prev)).astype(jnp.int32),
-            axis=1,
-            keepdims=True,
+        out, drop = _fused_sketch_one_k(
+            codes, lengths, k=k, nk=nk, threshold=threshold, cap=cap,
+            cap_pad=cap_pad,
         )
+        out_refs[2 * ki][...] = out
+        out_refs[2 * ki + 1][...] = drop
 
 
 @functools.partial(

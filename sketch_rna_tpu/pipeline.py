@@ -19,7 +19,7 @@ import dataclasses
 import logging
 import os
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -1408,7 +1408,7 @@ def _sharded_stream_core(
 
 def quantify_samples(
     index: IndexArtifact,
-    samples: Dict[str, PackedReads],
+    samples: Dict[str, Union[PackedReads, Callable[[], PackedReads]]],
     config: Optional[QuantConfig] = None,
 ) -> Dict[str, QuantResult]:
     """Multi-sample batch quant (BASELINE.json config 5): quantify many

@@ -13,6 +13,15 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
+# Module-scope imports ONLY: this function runs inside jitted bodies, and
+# a lazy import during tracing initializes the target module's jnp-level
+# constants mid-trace, corrupting jit dispatch (see pipeline.py's import
+# invariant note).
+from sketch_rna_tpu.hash.pallas_hash import (
+    _FUSED_MAX_CAPACITY,
+    sketch_batch_pallas,
+    sketch_batch_pallas_multik,
+)
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
 
 
@@ -26,12 +35,6 @@ def sketch_all_k(
 ) -> Tuple:
     """[(hashes, mask, n_overflow)] per k."""
     if use_pallas:
-        from sketch_rna_tpu.hash.pallas_hash import (
-            _FUSED_MAX_CAPACITY,
-            sketch_batch_pallas,
-            sketch_batch_pallas_multik,
-        )
-
         if len(kmer_lengths) > 1 and max(caps) <= _FUSED_MAX_CAPACITY:
             return sketch_batch_pallas_multik(
                 codes, lengths, tuple(kmer_lengths), fraction, tuple(caps)

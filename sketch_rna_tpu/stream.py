@@ -247,8 +247,10 @@ def quantify_streamed(
         reads.num_reads if isinstance(reads, PackedReads) else num_reads_hint
     )
     if known_R is not None:
-        # Known row count: the buffer never needs more rows than reads.
-        m_cap = min(m_cap, max(((known_R + 1023) // 1024) * 1024, 2 * B))
+        # Known row count: the buffer never needs many more rows than
+        # reads.  +1024 headroom covers the extra classes chunk padding
+        # rows can form (an all-zero profile per partial chunk).
+        m_cap = min(m_cap, max(((known_R + 1023) // 1024) * 1024 + 1024, 2 * B))
     T = index.num_transcripts
 
     buf_tid = jnp.zeros((m_cap, C), jnp.int32)

@@ -62,8 +62,9 @@ def test_quant_matches_oracle_offdefault(sketch_fraction, chain_fraction, em_ite
 
 @pytest.mark.parametrize("seed", [11, 222, 3333, 44444])
 def test_quant_matches_oracle_random_seeds(seed):
-    """Seed-sweep fuzz: randomized transcriptome shape, k set, and read
-    mix (incl. short/invalid tails) stay oracle-exact in float64."""
+    """Seed-sweep fuzz: randomized transcriptome shape, k set, read
+    count and read length stay oracle-exact in float64.  (Short/invalid
+    read handling is covered by the IO and end-to-end tests.)"""
     rng = np.random.default_rng(seed)
     ks = (31,) if rng.random() < 0.5 else (21, 31)
     n_t = int(rng.integers(6, 24))
