@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--transcripts", type=int, default=10_000)
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--k", default="31")
     args = ap.parse_args()
 
     from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
@@ -50,13 +51,17 @@ def main():
 
     rng = np.random.default_rng(2026)
     seqs = synth_transcriptome(rng, args.transcripts)
+    ks = tuple(int(x) for x in args.k.split(","))
     cfg = QuantConfig(
-        kmer_lengths=(31,),
+        kmer_lengths=ks,
         batch_size=args.batch_size,
         max_read_len=((args.read_len + 127) // 128) * 128,
         em_dtype="float32",
     )
-    cache = f"/tmp/sketch_scale_cache/T{args.transcripts}_k31.npz"
+    cache = (
+        f"/tmp/sketch_scale_cache/T{args.transcripts}"
+        f"_k{args.k.replace(',', '_')}.npz"
+    )
     if os.path.exists(cache):
         idx = load_index(cache)
     else:
