@@ -130,6 +130,28 @@ def test_cli_chunked_stream_route_matches_fused(fixture_files, monkeypatch):
         )
 
 
+def test_cli_em_flags_match_default(fixture_files):
+    """--em-segsum on / --em-mxu on must plumb through and reproduce the
+    default route's CSV within float32 summation-order tolerance."""
+    tmp, fasta, fastq, names, seqs, reads, read_names = fixture_files
+    idx_path = str(tmp / "ref_ef.skidx.npz")
+    run_cli(["-o", "index", "-k", "31", str(fasta), idx_path])
+    base = str(tmp / "out_ef_base.csv")
+    run_cli(["-o", "quant", idx_path, str(fastq), base])
+    with open(base) as fh:
+        base_rows = list(csv.DictReader(fh))
+    for flag, value in (("--em-segsum", "on"), ("--em-mxu", "on")):
+        out = str(tmp / f"out_ef_{flag.strip('-').replace('-', '_')}.csv")
+        run_cli(["-o", "quant", flag, value, idx_path, str(fastq), out])
+        with open(out) as fh:
+            rows = list(csv.DictReader(fh))
+        assert [r["Name"] for r in rows] == [r["Name"] for r in base_rows], flag
+        for a, b in zip(rows, base_rows):
+            assert float(a["EM_Abundance"]) == pytest.approx(
+                float(b["EM_Abundance"]), rel=3e-5
+            ), flag
+
+
 def test_cli_subprocess_smoke(fixture_files):
     """The installed entry point works as a real process."""
     tmp, fasta, fastq, *_ = fixture_files
