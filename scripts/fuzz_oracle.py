@@ -1,0 +1,134 @@
+"""Extended oracle fuzz: randomized problem shapes x engine knobs vs the
+float64 NumPy reference oracle (reference semantics line-by-line, see
+oracle/reference_oracle.py).
+
+Each trial draws a random transcriptome (isoform families), a random k
+set, random reads, and a random engine configuration (fused vs forced
+streaming, tiered vs flat matching, tiny class buffers to force in-scan
+compaction, off-default sketch/chain fractions) and requires pi /
+weighted counts to match the oracle to 1e-9 and the CSV row set exactly
+(tests/test_param_space.py is the 4-seed in-suite version of this).
+
+Usage:  JAX_PLATFORMS=cpu python scripts/fuzz_oracle.py [n_trials] [base_seed]
+Exits nonzero on the first mismatch, printing the repro draw.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from util import decode, make_transcriptome, sample_reads  # noqa: E402
+
+from sketch_rna_tpu.config import QuantConfig  # noqa: E402
+from sketch_rna_tpu.index.build import build_index  # noqa: E402
+from sketch_rna_tpu.io.fasta import FastaRecords  # noqa: E402
+from sketch_rna_tpu.io.packing import PackedReads  # noqa: E402
+from sketch_rna_tpu.oracle.reference_oracle import oracle_quant  # noqa: E402
+import sketch_rna_tpu.pipeline as pl  # noqa: E402
+
+K_SETS = [(31,), (21,), (21, 31), (15, 25, 33), (17,)]
+
+
+def one_trial(seed: int) -> dict:
+    rng = np.random.default_rng(seed)
+    ks = K_SETS[int(rng.integers(0, len(K_SETS)))]
+    n_t = int(rng.integers(4, 28))
+    seqs = make_transcriptome(rng, n=n_t, len_range=(40, 800))
+    recs = FastaRecords(
+        [f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0
+    )
+    sketch_fraction = float(rng.choice([0.05, 0.05, 0.05, 0.1, 0.3, 0.02]))
+    chain_fraction = float(rng.choice([0.9, 0.9, 0.75, 0.5, 0.833, 1.0]))
+    em_iters = int(rng.choice([20, 20, 5, 1, 40]))
+    batch = int(rng.choice([32, 64, 128]))
+    pad_len = int(rng.choice([128, 256]))
+    cfg = QuantConfig(
+        kmer_lengths=ks,
+        batch_size=batch,
+        max_read_len=pad_len,
+        em_dtype="float64",
+        sketch_fraction=sketch_fraction,
+        chain_fraction=chain_fraction,
+        em_max_iterations=em_iters,
+        match_tiers=bool(rng.random() < 0.7),
+        stream_class_capacity=int(rng.choice([16, 64, 1024])),
+    )
+    idx = build_index(recs, cfg)
+    n_reads = int(rng.integers(16, 400))
+    read_len = int(rng.integers(max(ks), min(pad_len, 140)))
+    reads = [
+        r
+        for r in sample_reads(rng, seqs, n_reads=n_reads, read_len=read_len)
+        if r.size >= max(ks)
+    ]
+    if not reads:
+        return {"skipped": True}
+    codes = np.zeros((len(reads), pad_len), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    force_stream = bool(rng.random() < 0.4)
+    fused_max = pl.FUSED_MAX_PADDED_READS
+    if force_stream:
+        pl.FUSED_MAX_PADDED_READS = 0
+    try:
+        result = pl.quantify(idx, packed, cfg)
+    finally:
+        pl.FUSED_MAX_PADDED_READS = fused_max
+
+    read_codes = {f"{i}": r for i, r in enumerate(reads)}
+    _, o_pi, o_weighted, o_csv = oracle_quant(
+        seqs,
+        read_codes,
+        ks,
+        sketch_fraction=sketch_fraction,
+        chain_fraction=chain_fraction,
+        em_max_iterations=em_iters,
+    )
+    np.testing.assert_allclose(result.pi, o_pi, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(result.weighted_counts, o_weighted, rtol=1e-9, atol=1e-12)
+    got_csv = [t for t in range(len(seqs)) if result.has_entry[t]]
+    assert got_csv == o_csv, f"csv rows {got_csv} != {o_csv}"
+    return {
+        "ks": ks,
+        "n_t": len(seqs),
+        "reads": len(reads),
+        "stream": force_stream,
+        "tiers": cfg.match_tiers,
+    }
+
+
+def main() -> None:
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 777000
+    t0 = time.time()
+    done = 0
+    for i in range(n_trials):
+        seed = base + i
+        try:
+            info = one_trial(seed)
+        except Exception:
+            print(f"FUZZ FAILURE at seed={seed}", flush=True)
+            raise
+        done += 1
+        print(f"[{done}/{n_trials}] seed={seed} ok {info} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    print(f"fuzz_oracle: {done} trials green in {time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
