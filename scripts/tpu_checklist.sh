@@ -4,16 +4,38 @@
 # Each step logs to /tmp/tpu_logs/; later steps depend on earlier
 # decisions (segsum / pallas policies), so READ the logs between steps
 # when running interactively.
+#
+# Tunnel-drop tolerant: if a step fails AND the tunnel probe then
+# fails, we wait for the tunnel to return and retry the step once.
 
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_logs
 
+probe() {
+  timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1
+}
+
+wait_for_tunnel() {
+  until probe; do
+    echo "[checklist] tunnel down, waiting... $(date)" | tee -a /tmp/tpu_logs/checklist.log
+    sleep 240
+  done
+}
+
 run() {
   name=$1; shift
   echo "=== $name: $* ===" | tee -a /tmp/tpu_logs/checklist.log
   timeout 3000 "$@" > "/tmp/tpu_logs/$name.log" 2>&1
-  echo "--- exit $? ---" | tee -a /tmp/tpu_logs/checklist.log
+  rc=$?
+  if [ $rc -ne 0 ] && ! probe; then
+    echo "--- $name failed (rc=$rc) with tunnel down; will retry ---" \
+      | tee -a /tmp/tpu_logs/checklist.log
+    wait_for_tunnel
+    timeout 3000 "$@" > "/tmp/tpu_logs/$name.log" 2>&1
+    rc=$?
+  fi
+  echo "--- $name exit $rc ---" | tee -a /tmp/tpu_logs/checklist.log
   tail -20 "/tmp/tpu_logs/$name.log"
 }
 
