@@ -63,6 +63,7 @@ def one_trial(seed: int) -> dict:
         em_max_iterations=em_iters,
         match_tiers=bool(rng.random() < 0.7),
         stream_class_capacity=int(rng.choice([16, 64, 1024])),
+        stream_chunk_reads=int(rng.choice([64, 256, 1 << 20])),
     )
     idx = build_index(recs, cfg)
     n_reads = int(rng.integers(16, 400))
@@ -89,6 +90,19 @@ def one_trial(seed: int) -> dict:
         result = pl.quantify(idx, packed, cfg)
     finally:
         pl.FUSED_MAX_PADDED_READS = fused_max
+
+    overflow = {
+        k: v
+        for k, v in result.stats.items()
+        if v and k not in ("stream_drains",)
+    }
+    if overflow:
+        # Capacity overflow is a documented bounded-capacity outcome:
+        # results may deviate from the oracle, but NEVER silently — the
+        # stats must carry the counts (a tiny class buffer + a single
+        # chunk wider than it is the only remaining overflow regime now
+        # that draining re-merges across chunks).
+        return {"overflow": overflow, "stream": force_stream}
 
     read_codes = {f"{i}": r for i, r in enumerate(reads)}
     _, o_pi, o_weighted, o_csv = oracle_quant(

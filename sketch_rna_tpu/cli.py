@@ -101,6 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming class-buffer rows (default 1M; bounds "
                    "DISTINCT candidate profiles held on device — overflow "
                    "drops batches and is counted, never silent)")
+    p.add_argument("--no-stream-drain", action="store_true",
+                   help="disable draining compacted classes to the host when "
+                   "the streaming class buffer nears capacity (drain keeps "
+                   "results exact at any distinct-class count)")
     return p
 
 
@@ -144,6 +148,7 @@ def _config_from_args(args, kmer_lengths) -> QuantConfig:
             if args.stream_class_capacity
             else {}
         ),
+        **({"stream_drain": False} if args.no_stream_drain else {}),
     )
 
 

@@ -93,6 +93,13 @@ class QuantConfig:
     # when it is known up front.
     stream_class_capacity: int = 1 << 20
     stream_chunk_reads: int = 1 << 20
+    # When the class buffer risks overflowing on the next super-chunk,
+    # drain its compacted classes to the host and continue with an empty
+    # buffer; drained segments re-merge into global equivalence classes
+    # before the EM.  Keeps the streaming path EXACT at any distinct-
+    # class count (the in-scan drop + stats["class_overflow"] remain as
+    # the backstop for a single chunk overflowing the buffer by itself).
+    stream_drain: bool = True
     # Mid-run EM checkpointing: save (pi, iteration) to this path every
     # em_checkpoint_every iterations and resume from it when present.
     # The reference's only persisted artifact is the index (SURVEY.md §5

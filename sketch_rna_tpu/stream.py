@@ -19,11 +19,18 @@ TPU batch granularity:
     device memory is O(m_cap) and host memory is one chunk, regardless
     of read count.
 
-The buffer capacity bounds DISTINCT candidate profiles, a property of
-transcriptome ambiguity, not dataset size (measured: 131k-read bench
-collapses to ~3k classes; GENCODE-scale multi-k stays < 100k).  If a
-workload still exceeds it, whole batches are dropped and counted in
-stats["class_overflow"] — never silent.
+The buffer capacity bounds DISTINCT candidate profiles held on device
+at once, a property of transcriptome ambiguity, not dataset size
+(measured: 131k-read bench collapses to ~3k classes; GENCODE-scale
+multi-k stays < 100k).  When a dataset's class count approaches the
+buffer anyway, the host DRAINS the compacted classes between
+super-chunks (config.stream_drain, default on) and the drained
+segments re-merge into global weighted classes before the EM — exact
+at any distinct-class count.  Only a single super-chunk whose own
+distinct classes exceed the buffer can still drop batches, counted in
+stats["class_overflow"] — never silent.  (The sharded multi-device
+engine, dist/quant_stream.py, keeps per-device buffers inside one
+shard_map program and does not drain.)
 """
 
 from __future__ import annotations
@@ -192,17 +199,39 @@ def stream_match_scan(
     return bt, bs, bw, fl, ncm, stats
 
 
+@jax.jit
+def _drain_compact(buf_tid, buf_score, buf_weight):
+    """Compact the class buffer for a host drain: identical candidate
+    profiles collapse into weighted classes occupying rows
+    [0, n_classes).  Returns (tid, score, weight, n_classes)."""
+    rep, w, scalars = group_candidate_rows_meta(
+        buf_tid, buf_score, row_weight=buf_weight
+    )
+    return buf_tid[rep], buf_score[rep], w, scalars[0]
+
+
 def _chunks_of(
     packed_or_iter: Union[PackedReads, Iterable[PackedReads]],
     chunk_reads: int,
 ) -> Iterator[PackedReads]:
-    if isinstance(packed_or_iter, PackedReads):
-        p = packed_or_iter
+    """Slice the input into super-chunks of at most chunk_reads reads.
+    Iterator feeds are re-sliced too, so the device-side chunk size is
+    decoupled from the parser's packing granularity (the drain logic
+    relies on one chunk never exceeding the class buffer)."""
+
+    def slices(p: PackedReads) -> Iterator[PackedReads]:
+        if p.num_reads <= chunk_reads:
+            yield p
+            return
         for r0 in range(0, p.num_reads, chunk_reads):
             r1 = min(r0 + chunk_reads, p.num_reads)
             yield PackedReads(p.codes[r0:r1], p.lengths[r0:r1], [])
+
+    if isinstance(packed_or_iter, PackedReads):
+        yield from slices(packed_or_iter)
     else:
-        yield from packed_or_iter
+        for p in packed_or_iter:
+            yield from slices(p)
 
 
 def quantify_streamed(
@@ -263,8 +292,17 @@ def quantify_streamed(
     stats_parts = []
     widths = None
     probe_w = None
+    drained = []  # host-side (tid, score, weight) compacted segments
+    rows_bound = 0  # host upper bound on fill (appends since last sync)
+    # With draining, cap the super-chunk so a single chunk's raw rows
+    # always fit the buffer next to one in-flight batch: after a drain
+    # the in-scan append can then never drop, making the streaming path
+    # exact for ANY capacity >= 2*B.
+    eff_chunk = config.stream_chunk_reads
+    if config.stream_drain:
+        eff_chunk = min(eff_chunk, max(((m_cap - B) // B) * B, B))
     with timer.phase("stream_match"):
-        for chunk in _chunks_of(reads, config.stream_chunk_reads):
+        for chunk in _chunks_of(reads, eff_chunk):
             n = chunk.num_reads
             if n == 0:
                 continue
@@ -276,6 +314,32 @@ def quantify_streamed(
                     index, chunk, config, bpacked, bucket_meta, caps, ks, L
                 )
             nbc = (n + B - 1) // B
+            if config.stream_drain and rows_bound + (nbc + 1) * B > m_cap:
+                # This chunk could overflow the buffer.  Check the real
+                # fill (one scalar sync; only datasets that outgrow the
+                # buffer ever reach here) and drain compacted classes to
+                # the host so the chunk starts into an empty buffer.
+                fill_h = int(np.asarray(fill))
+                if fill_h + (nbc + 1) * B > m_cap and fill_h > 0:
+                    d_tid, d_score, d_w, d_n = _drain_compact(
+                        buf_tid, buf_score, buf_weight
+                    )
+                    n_cls = int(np.asarray(d_n))
+                    if n_cls > 0:
+                        drained.append(
+                            (
+                                np.asarray(d_tid[:n_cls]),
+                                np.asarray(d_score[:n_cls]),
+                                np.asarray(d_w[:n_cls]),
+                            )
+                        )
+                    buf_tid = jnp.zeros((m_cap, C), jnp.int32)
+                    buf_score = jnp.zeros((m_cap, C), jnp.int32)
+                    buf_weight = jnp.zeros(m_cap, jnp.int32)
+                    fill = jnp.zeros((), jnp.int32)
+                    rows_bound = 0
+                else:
+                    rows_bound = fill_h
             codes = jnp.asarray(chunk.codes)
             lengths = jnp.asarray(chunk.lengths, jnp.int32)
             pad = nbc * B - n
@@ -309,6 +373,7 @@ def quantify_streamed(
             )
             ncm_parts.append(ncm)
             stats_parts.append(st)
+            rows_bound = min(rows_bound + nbc * B, m_cap)
 
     if R == 0:
         return _empty_result(index)
@@ -322,15 +387,39 @@ def quantify_streamed(
     for key, v in stats.items():
         if v:
             log.warning("capacity overflow during streaming match: %s=%d", key, v)
+    stats["stream_drains"] = len(drained)
 
     W = max(int(ncm_all.max()), 1)
     W = min(1 << (W - 1).bit_length(), C)
+    if drained:
+        # Re-merge drained segments with the live buffer: duplicates
+        # ACROSS segments regroup inside _em_tables (class grouping
+        # composes with row weights), so the result is the same global
+        # equivalence classes an unbounded buffer would have produced.
+        fill_h = int(np.asarray(fill))
+        log.info(
+            "stream drain: %d segments (%d classes) + %d live rows",
+            len(drained),
+            sum(d[0].shape[0] for d in drained),
+            fill_h,
+        )
+        all_tid = jnp.concatenate(
+            [jnp.asarray(d[0]) for d in drained] + [buf_tid[:fill_h]]
+        )
+        all_score = jnp.concatenate(
+            [jnp.asarray(d[1]) for d in drained] + [buf_score[:fill_h]]
+        )
+        all_weight = jnp.concatenate(
+            [jnp.asarray(d[2]) for d in drained] + [buf_weight[:fill_h]]
+        )
+    else:
+        all_tid, all_score, all_weight = buf_tid, buf_score, buf_weight
     with timer.phase("classes"):
         tables, static_base, static_has = _em_tables(
-            jax.lax.slice_in_dim(buf_tid, 0, W, axis=1),
-            jax.lax.slice_in_dim(buf_score, 0, W, axis=1),
+            jax.lax.slice_in_dim(all_tid, 0, W, axis=1),
+            jax.lax.slice_in_dim(all_score, 0, W, axis=1),
             config,
-            row_weight=buf_weight,
+            row_weight=all_weight,
             num_transcripts=T,
         )
         jax.block_until_ready(tables[0][0])

@@ -75,3 +75,51 @@ def test_streamed_compaction_exact(monkeypatch):
     np.testing.assert_array_equal(fused.has_entry, streamed.has_entry)
     assert fused.em_iterations == streamed.em_iterations
     assert fused.num_reads == streamed.num_reads
+
+
+def test_stream_drain_exact_beyond_buffer(monkeypatch):
+    """Distinct classes EXCEED the class buffer: the drain path hands
+    compacted segments to the host between super-chunks and re-merges
+    them before the EM, staying exactly equal to the fused path where
+    the old behavior dropped batches (class_overflow > 0)."""
+    import dataclasses
+
+    rng = np.random.default_rng(910009)  # fuzz_oracle's first catch
+    seqs = make_transcriptome(rng, n=20, len_range=(60, 700))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(
+        kmer_lengths=(21,),
+        batch_size=32,
+        max_read_len=128,
+        em_dtype="float64",
+        stream_class_capacity=64,  # -> m_cap = max(64, 2*B) = 64 rows
+        stream_chunk_reads=32,  # one batch per super-chunk
+    )
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=500, read_len=70,
+                                     error_rate=0.02) if r.size >= 21]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    fused = pl.quantify(idx, packed, cfg)
+    monkeypatch.setattr(pl, "FUSED_MAX_PADDED_READS", 0)
+
+    # The regime genuinely exceeds the buffer: with draining disabled
+    # the engine must drop and count (never silent)...
+    dropped = pl.quantify(idx, packed, dataclasses.replace(cfg, stream_drain=False))
+    assert dropped.stats.get("class_overflow", 0) > 0
+
+    # ...and with draining (the default) it stays exact.
+    streamed = pl.quantify(idx, packed, cfg)
+    assert streamed.stats.get("stream_drains", 0) > 0
+    assert streamed.stats.get("class_overflow", 0) == 0
+    np.testing.assert_allclose(fused.pi, streamed.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        fused.weighted_counts, streamed.weighted_counts, rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_array_equal(fused.has_entry, streamed.has_entry)
+    assert fused.em_iterations == streamed.em_iterations
