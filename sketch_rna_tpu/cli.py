@@ -18,11 +18,14 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import logging
 import sys
 import time
 from typing import List, Optional
 
 from sketch_rna_tpu.config import QuantConfig
+
+log = logging.getLogger(__name__)
 
 
 def _parse_kmer_list(s: str) -> tuple:
@@ -326,6 +329,32 @@ def run_quant(
             # its first iteration would otherwise leak the mmap + record
             # table (close() is idempotent).
             stream_scan.close()
+        if (
+            config.match_tiers
+            and result.stats.get("expand_dropped_pretail", 0) > 0
+        ):
+            # Iterator feeds can't replay inside quantify_streamed;
+            # rebuild the native scan and rerun flat (exact) here.
+            from sketch_rna_tpu.io import native
+
+            log.warning(
+                "tiered streaming dropped %d pretail events; re-scanning "
+                "and rerunning with flat windows",
+                result.stats["expand_dropped_pretail"],
+            )
+            scan2 = native.NativeFastqScan(reads_path, max(idx.kmer_lengths))
+            stream2 = native.chunks_from_scan(
+                scan2, config.stream_chunk_reads, pad_len
+            )
+            try:
+                result = quantify_streamed(
+                    idx,
+                    stream2,
+                    dataclasses.replace(config, match_tiers=False),
+                    num_reads_hint=scan2.num_reads,
+                )
+            finally:
+                scan2.close()
     elif sharded or multiproc:
         from sketch_rna_tpu.pipeline import quantify_sharded
 

@@ -384,6 +384,32 @@ def quantify_streamed(
         k: int(np.asarray(jnp.stack([s[k] for s in stats_parts]).sum(axis=0)).sum())
         for k in stats_parts[0]
     }
+    if config.match_tiers and stats.get("expand_dropped_pretail", 0) > 0:
+        # Tiered windows can only drop events a flat window would keep
+        # when the first-chunk calibration under-sizes a tier; mirror
+        # the fused and sharded paths' exact flat rerun.  Iterator feeds
+        # cannot be replayed here — the CLI rebuilds the feed and
+        # retries (cli.run_quant); other callers see the warning + stat.
+        if isinstance(reads, PackedReads):
+            import dataclasses
+
+            log.warning(
+                "tiered streaming match dropped %d pretail events; "
+                "rerunning flat",
+                stats["expand_dropped_pretail"],
+            )
+            return quantify_streamed(
+                index,
+                reads,
+                dataclasses.replace(config, match_tiers=False),
+                num_reads_hint=num_reads_hint,
+            )
+        log.warning(
+            "tiered streaming match dropped %d pretail events on a "
+            "non-replayable feed; rerun with match_tiers=False for "
+            "exact results",
+            stats["expand_dropped_pretail"],
+        )
     for key, v in stats.items():
         if v:
             log.warning("capacity overflow during streaming match: %s=%d", key, v)

@@ -123,3 +123,52 @@ def test_stream_drain_exact_beyond_buffer(monkeypatch):
     )
     np.testing.assert_array_equal(fused.has_entry, streamed.has_entry)
     assert fused.em_iterations == streamed.em_iterations
+
+
+def test_stream_pretail_spill_reruns_flat(monkeypatch):
+    """An under-calibrated tier probe must not cost exactness in the
+    streaming path: pretail spills trigger the same flat rerun the
+    fused and sharded paths perform (for replayable inputs)."""
+    rng = np.random.default_rng(4242)
+    seqs = make_transcriptome(rng, n=16, len_range=(80, 500))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    # Tiering only engages at batch >= 1024 rows (tier_plan keeps small
+    # batches flat), so use a real batch size here.
+    cfg = QuantConfig(kmer_lengths=(31,), batch_size=1024, max_read_len=128,
+                      em_dtype="float64")
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=2500, read_len=100) if r.size >= 31]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    fused = pl.quantify(idx, packed, cfg)
+
+    # Sabotage the calibration: probe width 1 guarantees pretail spills.
+    real = pl._tier_widths_for
+    monkeypatch.setattr(
+        pl, "_tier_widths_for", lambda *a, **kw: (real(*a, **kw)[0], 1)
+    )
+    monkeypatch.setattr(pl, "FUSED_MAX_PADDED_READS", 0)
+
+    # Prove the sabotage bites: a non-replayable feed cannot rerun, so
+    # the spill surfaces in its stats (never silent).
+    from sketch_rna_tpu.stream import quantify_streamed
+
+    spilled = quantify_streamed(
+        idx, iter([packed]), cfg, num_reads_hint=packed.num_reads
+    )
+    assert spilled.stats.get("expand_dropped_pretail", 0) > 0
+
+    streamed = pl.quantify(idx, packed, cfg)
+
+    # The flat rerun reports clean stats and exact results.
+    assert streamed.stats.get("expand_dropped_pretail", 0) == 0
+    np.testing.assert_allclose(fused.pi, streamed.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        fused.weighted_counts, streamed.weighted_counts, rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_array_equal(fused.has_entry, streamed.has_entry)
