@@ -1298,10 +1298,10 @@ def _sharded_stream_core(
     row_ptr = tuple(jnp.asarray(shards[k][1]) for k in ks)
     postings = tuple(jnp.asarray(shards[k][2]) for k in ks)
     caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
-    m_cap = min(
-        max(config.stream_class_capacity, 2 * Bl),
-        max(_round_up(nb * Bl, 1024), 2 * Bl),
-    )
+    # Per-device rows: a buffer this large can never overflow (fill only
+    # grows by appended rows), so the overflow retry below terminates.
+    m_cap_full = max(_round_up(nb * Bl, 1024), 2 * Bl)
+    m_cap = min(max(config.stream_class_capacity, 2 * Bl), m_cap_full)
 
     def run(tiers: bool):
         return stream_sharded_scan(
@@ -1334,6 +1334,22 @@ def _sharded_stream_core(
             int(sc[2]),
         )
         bt, bs, bw, scalars, dropped, sk_ov = run(False)
+        sc = np.asarray(scalars)
+    # Class-buffer overflow: the read chunks are device-resident, so the
+    # exact recovery is a rerun with a doubled buffer (the single-device
+    # streaming path drains to the host instead; here every process must
+    # take the same deterministic branch — sc is psum'd, m_cap doubling
+    # is pure arithmetic — to keep multi-host SPMD consensus).
+    tiers_now = config.match_tiers and int(sc[2]) == 0
+    while config.stream_drain and int(sc[4]) > 0 and m_cap < m_cap_full:
+        m_cap = min(m_cap * 2, m_cap_full)
+        log.warning(
+            "sharded class buffer overflowed (%d reads dropped); "
+            "rerunning with %d rows",
+            int(sc[4]),
+            m_cap,
+        )
+        bt, bs, bw, scalars, dropped, sk_ov = run(tiers_now)
         sc = np.asarray(scalars)
 
     W = max(int(sc[0]), 1)

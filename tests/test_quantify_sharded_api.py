@@ -68,3 +68,46 @@ def test_quantify_sharded_empty_reads():
     assert np.isfinite(b.pi).all()
     np.testing.assert_array_equal(a.pi, b.pi)
     np.testing.assert_array_equal(a.has_entry, b.has_entry)
+
+
+def test_sharded_class_overflow_retries_exact(caplog):
+    """Distinct classes exceed the per-device buffer: the sharded engine
+    must rerun its device-resident scan with a doubled buffer until the
+    overflow clears, staying exactly equal to quantify()."""
+    import dataclasses
+    import logging
+
+    rng = np.random.default_rng(910009)
+    seqs = make_transcriptome(rng, n=20, len_range=(60, 700))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(
+        kmer_lengths=(21,),
+        batch_size=32,
+        max_read_len=128,
+        em_dtype="float64",
+        stream_class_capacity=64,  # per-device m_cap = max(64, 2*B) = 64
+    )
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=800, read_len=70,
+                                     error_rate=0.02) if r.size >= 21]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    a = quantify(idx, packed, cfg)
+    with caplog.at_level(logging.WARNING, logger="sketch_rna_tpu.pipeline"):
+        b = quantify_sharded(idx, packed, cfg)
+    # The retry engaged (the workload genuinely overflows 64 rows)...
+    assert any("rerunning with" in r.message for r in caplog.records)
+    # ...and the final result is overflow-free and exact.
+    assert b.stats.get("class_overflow", 0) == 0
+    np.testing.assert_allclose(a.pi, b.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(a.weighted_counts, b.weighted_counts, rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(a.has_entry, b.has_entry)
+
+    # With stream_drain=False the old counted-drop behavior remains.
+    c = quantify_sharded(idx, packed, dataclasses.replace(cfg, stream_drain=False))
+    assert c.stats.get("class_overflow", 0) > 0
