@@ -141,6 +141,10 @@ def main() -> None:
         done += 1
         print(f"[{done}/{n_trials}] seed={seed} ok {info} "
               f"({time.time() - t0:.0f}s)", flush=True)
+        if done % 25 == 0:
+            # Every trial draws fresh shapes, so compiled programs pile
+            # up in-process (a multi-hour soak OOMs the LLVM arena).
+            jax.clear_caches()
     print(f"fuzz_oracle: {done} trials green in {time.time() - t0:.0f}s")
 
 
