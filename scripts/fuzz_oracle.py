@@ -91,17 +91,17 @@ def one_trial(seed: int) -> dict:
     finally:
         pl.FUSED_MAX_PADDED_READS = fused_max
 
+    # With replayable inputs and drain on (both always true here), the
+    # exactness machinery must leave NO pretail or class drops in the
+    # final stats — those reaching the result means the rerun/drain
+    # plumbing itself broke, so let the oracle comparison below fail.
+    # Only genuine bounded-capacity limits may skip the comparison.
     overflow = {
         k: v
         for k, v in result.stats.items()
-        if v and k not in ("stream_drains",)
+        if v and k in ("expand_dropped", "sketch_overflow", "candidate_spilled")
     }
     if overflow:
-        # Capacity overflow is a documented bounded-capacity outcome:
-        # results may deviate from the oracle, but NEVER silently — the
-        # stats must carry the counts (a tiny class buffer + a single
-        # chunk wider than it is the only remaining overflow regime now
-        # that draining re-merges across chunks).
         return {"overflow": overflow, "stream": force_stream}
 
     read_codes = {f"{i}": r for i, r in enumerate(reads)}

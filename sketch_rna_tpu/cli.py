@@ -105,9 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "DISTINCT candidate profiles held on device — overflow "
                    "drops batches and is counted, never silent)")
     p.add_argument("--no-stream-drain", action="store_true",
-                   help="disable draining compacted classes to the host when "
-                   "the streaming class buffer nears capacity (drain keeps "
-                   "results exact at any distinct-class count)")
+                   help="disable the class-buffer exactness recovery (host "
+                   "drain + re-merge when streaming; one bigger-buffer rerun "
+                   "when sharded): overflow then drops batches, counted in "
+                   "stats, never silent")
     return p
 
 

@@ -93,12 +93,16 @@ class QuantConfig:
     # when it is known up front.
     stream_class_capacity: int = 1 << 20
     stream_chunk_reads: int = 1 << 20
-    # When the class buffer risks overflowing on the next super-chunk,
-    # drain its compacted classes to the host and continue with an empty
-    # buffer; drained segments re-merge into global equivalence classes
-    # before the EM.  Keeps the streaming path EXACT at any distinct-
-    # class count (the in-scan drop + stats["class_overflow"] remain as
-    # the backstop for a single chunk overflowing the buffer by itself).
+    # Exactness under class-buffer pressure (default on).  Single-device
+    # streaming: when the buffer risks overflowing on the next
+    # super-chunk, compact it on device and, if still crowded, drain the
+    # compacted classes to the host; drained segments re-merge into
+    # global equivalence classes before the EM — super-chunks are also
+    # clamped to the buffer, so no batch can ever drop.  Sharded engine:
+    # on overflow, rerun the device-resident scan once at the
+    # per-device-row bound (where overflow is impossible).  False
+    # restores the counted-drop behavior (stats["class_overflow"]) on
+    # both paths.
     stream_drain: bool = True
     # Mid-run EM checkpointing: save (pi, iteration) to this path every
     # em_checkpoint_every iterations and resume from it when present.

@@ -1326,29 +1326,31 @@ def _sharded_stream_core(
             use_pallas_sketch=config.use_pallas_sketch,
         )
 
-    bt, bs, bw, scalars, dropped, sk_ov = run(config.match_tiers)
+    tiers_now = config.match_tiers
+    bt, bs, bw, scalars, dropped, sk_ov = run(tiers_now)
     sc = np.asarray(scalars)
-    if config.match_tiers and int(sc[2]) > 0:
+    if tiers_now and int(sc[2]) > 0:
         log.warning(
             "tiered sharded match dropped %d pretail events; rerunning flat",
             int(sc[2]),
         )
-        bt, bs, bw, scalars, dropped, sk_ov = run(False)
+        tiers_now = False
+        bt, bs, bw, scalars, dropped, sk_ov = run(tiers_now)
         sc = np.asarray(scalars)
     # Class-buffer overflow: the read chunks are device-resident, so the
-    # exact recovery is a rerun with a doubled buffer (the single-device
-    # streaming path drains to the host instead; here every process must
-    # take the same deterministic branch — sc is psum'd, m_cap doubling
-    # is pure arithmetic — to keep multi-host SPMD consensus).
-    tiers_now = config.match_tiers and int(sc[2]) == 0
-    while config.stream_drain and int(sc[4]) > 0 and m_cap < m_cap_full:
-        m_cap = min(m_cap * 2, m_cap_full)
+    # exact recovery is ONE rerun at the per-device row bound, where
+    # overflow is impossible (the single-device streaming path drains to
+    # the host instead; here every process must take the same
+    # deterministic branch — sc is psum'd, the bound is pure arithmetic
+    # — to keep multi-host SPMD consensus).
+    if config.stream_drain and int(sc[4]) > 0 and m_cap < m_cap_full:
         log.warning(
             "sharded class buffer overflowed (%d reads dropped); "
             "rerunning with %d rows",
             int(sc[4]),
-            m_cap,
+            m_cap_full,
         )
+        m_cap = m_cap_full
         bt, bs, bw, scalars, dropped, sk_ov = run(tiers_now)
         sc = np.asarray(scalars)
 

@@ -105,10 +105,7 @@ def stream_match_scan(
     K = len(kmer_lengths)
 
     def compact(bt, bs, bw):
-        rep, w, _scalars = group_candidate_rows_meta(bt, bs, row_weight=bw)
-        # Representative gather materializes the compacted classes; rows
-        # past n_classes duplicate row content with weight 0 (inert).
-        return bt[rep], bs[rep], w, _scalars[0]
+        return _compact_classes(bt, bs, bw)
 
     def body(carry, batch):
         bt, bs, bw, fl, dropped, spilled, sk_ov, pretail, ncm, class_ov = carry
@@ -200,10 +197,12 @@ def stream_match_scan(
 
 
 @jax.jit
-def _drain_compact(buf_tid, buf_score, buf_weight):
-    """Compact the class buffer for a host drain: identical candidate
-    profiles collapse into weighted classes occupying rows
-    [0, n_classes).  Returns (tid, score, weight, n_classes)."""
+def _compact_classes(buf_tid, buf_score, buf_weight):
+    """Compact the class buffer: identical candidate profiles collapse
+    into weighted classes occupying rows [0, n_classes); rows past
+    n_classes duplicate row content with weight 0 (inert).  Shared by
+    the in-scan compaction and the host-drain precheck.  Returns
+    (tid, score, weight, n_classes)."""
     rep, w, scalars = group_candidate_rows_meta(
         buf_tid, buf_score, row_weight=buf_weight
     )
@@ -315,24 +314,24 @@ def quantify_streamed(
                 )
             nbc = (n + B - 1) // B
             if config.stream_drain and rows_bound + (nbc + 1) * B > m_cap:
-                # This chunk could overflow the buffer.  Check the real
-                # fill (one scalar sync; only datasets that outgrow the
-                # buffer ever reach here) and drain compacted classes to
-                # the host so the chunk starts into an empty buffer.
+                # This chunk could overflow the buffer.  Compact on
+                # device first — low-ambiguity datasets collapse far
+                # below capacity and never pay a drain (one scalar sync
+                # per ~m_cap appended rows either way) — and drain the
+                # compacted classes to the host only if they still
+                # crowd out the incoming chunk.
+                buf_tid, buf_score, buf_weight, fill = _compact_classes(
+                    buf_tid, buf_score, buf_weight
+                )
                 fill_h = int(np.asarray(fill))
                 if fill_h + (nbc + 1) * B > m_cap and fill_h > 0:
-                    d_tid, d_score, d_w, d_n = _drain_compact(
-                        buf_tid, buf_score, buf_weight
-                    )
-                    n_cls = int(np.asarray(d_n))
-                    if n_cls > 0:
-                        drained.append(
-                            (
-                                np.asarray(d_tid[:n_cls]),
-                                np.asarray(d_score[:n_cls]),
-                                np.asarray(d_w[:n_cls]),
-                            )
+                    drained.append(
+                        (
+                            np.asarray(buf_tid[:fill_h]),
+                            np.asarray(buf_score[:fill_h]),
+                            np.asarray(buf_weight[:fill_h]),
                         )
+                    )
                     buf_tid = jnp.zeros((m_cap, C), jnp.int32)
                     buf_score = jnp.zeros((m_cap, C), jnp.int32)
                     buf_weight = jnp.zeros(m_cap, jnp.int32)

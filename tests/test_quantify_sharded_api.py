@@ -111,3 +111,56 @@ def test_sharded_class_overflow_retries_exact(caplog):
     # With stream_drain=False the old counted-drop behavior remains.
     c = quantify_sharded(idx, packed, dataclasses.replace(cfg, stream_drain=False))
     assert c.stats.get("class_overflow", 0) > 0
+
+
+def test_sharded_spill_plus_overflow_stays_flat(monkeypatch, caplog):
+    """Pretail spill AND class overflow together: the overflow retry
+    must rerun FLAT (the regression was re-running tiered, quietly
+    reintroducing the dropped events)."""
+    import logging
+
+    import sketch_rna_tpu.pipeline as pl
+
+    rng = np.random.default_rng(910009)
+    # Tiering engages at >= 1024 rows per device batch.  A (data=1,
+    # index=2) mesh puts all 16384 reads on one data shard against a
+    # 2*B = 2048-row buffer, so the 200-isoform-family transcriptome's
+    # distinct candidate profiles genuinely overflow it.
+    seqs = make_transcriptome(rng, n=200, len_range=(60, 500))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(
+        kmer_lengths=(21,),
+        batch_size=1024,
+        max_read_len=128,
+        em_dtype="float64",
+        stream_class_capacity=64,
+        chain_fraction=0.5,  # wider candidate profiles -> more classes
+    )
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=16384, read_len=100,
+                                     error_rate=0.04) if r.size >= 21]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    a = quantify(idx, packed, cfg)
+
+    # Under-size the tier windows so the tiered sharded scan spills.
+    real = pl._tier_widths_for
+    monkeypatch.setattr(
+        pl, "_tier_widths_for", lambda *args, **kw: ((1, 2), 1)
+    )
+    from sketch_rna_tpu.dist.mesh import make_mesh
+
+    with caplog.at_level(logging.WARNING, logger="sketch_rna_tpu.pipeline"):
+        b = quantify_sharded(idx, packed, cfg, mesh=make_mesh(1, 2))
+    assert any("rerunning flat" in r.message for r in caplog.records)
+    assert any("rerunning with" in r.message for r in caplog.records)
+    assert b.stats.get("class_overflow", 0) == 0
+    assert b.stats.get("expand_dropped_pretail", 0) == 0
+    np.testing.assert_allclose(a.pi, b.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(a.weighted_counts, b.weighted_counts, rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(a.has_entry, b.has_entry)
