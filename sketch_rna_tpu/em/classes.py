@@ -34,11 +34,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_M1 = jnp.uint32(0x9E3779B1)  # golden-ratio mixing constants
-_M2 = jnp.uint32(0x85EBCA77)
-_M3 = jnp.uint32(0xC2B2AE3D)
-_M4 = jnp.uint32(0x27D4EB2F)
+# golden-ratio mixing constants — np scalars so importing this module
+# never initializes the XLA backend (breaks jax.distributed.initialize)
+_M1 = np.uint32(0x9E3779B1)
+_M2 = np.uint32(0x85EBCA77)
+_M3 = np.uint32(0xC2B2AE3D)
+_M4 = np.uint32(0x27D4EB2F)
 
 
 def _mix(h: jnp.ndarray, v: jnp.ndarray, mult: jnp.ndarray) -> jnp.ndarray:

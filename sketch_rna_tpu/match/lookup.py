@@ -20,10 +20,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Saturation cap for cumulative posting counts: large enough to exceed any
 # sane expansion budget, small enough that int32 a+b cannot wrap.
-_CUM_CAP = jnp.int32(1 << 30)
+_CUM_CAP = np.int32(1 << 30)  # np scalar: import must not init the backend
 
 
 def _saturating_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:

@@ -32,11 +32,12 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sketch_rna_tpu.match.candidates import MatchResult, _fraction_compare_params
 from sketch_rna_tpu.match.lookup import lookup_postings
 
-_I32_MAX = jnp.int32(2**31 - 1)
+_I32_MAX = np.int32(2**31 - 1)  # np scalar: import must not init the backend
 
 
 def _next_pow2(n: int) -> int:

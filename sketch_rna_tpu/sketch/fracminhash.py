@@ -25,7 +25,10 @@ import numpy as np
 
 from sketch_rna_tpu.hash.nthash import nthash_batch_u32
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# np scalar, not a jnp array: module import must not initialize the
+# XLA backend (jax.distributed.initialize comes first in multi-host
+# CLIs and refuses to run once any device value exists).
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def fracminhash_threshold(fraction: float) -> int:
