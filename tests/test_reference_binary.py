@@ -1,0 +1,202 @@
+"""End-to-end parity against the REAL reference C++ pipeline.
+
+The reference sources (/root/reference/src) compile and run on this
+machine once given an ntHash implementation: native/nthash_shim supplies
+the exact API surface they use (reference src/sketch.cpp:31-37) with the
+independently re-derived ntHash2 recurrence that tests/test_nthash.py
+pins bit-equal to this framework's hash.  Everything else in the built
+binary — FASTA/FASTQ handling, FracMinHash thresholding, sparse
+chaining, EM, soft assignment, CSV formatting — is the reference's OWN
+code, so these tests validate the full pipeline semantics against the
+real thing rather than against our NumPy re-derivation of it
+(VERDICT r1 "What's missing" #1; the checked-in build/test binary is
+Mach-O and cannot run here).
+
+Also closes DESIGN "known gaps" #6: the binary-index interop tests below
+exchange REAL C++-written index files with index/refbin.py in both
+directions.
+"""
+
+import csv
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from util import decode, make_transcriptome, sample_reads, write_fasta, write_fastq
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REF = "/root/reference"
+
+
+def _have_reference() -> bool:
+    return os.path.isdir(os.path.join(_REF, "src"))
+
+
+pytestmark = pytest.mark.skipif(
+    not _have_reference(), reason="reference sources not present"
+)
+
+
+@pytest.fixture(scope="module")
+def reftool(tmp_path_factory):
+    """Compile the reference sources against the nthash shim."""
+    import glob
+
+    exe = str(tmp_path_factory.mktemp("refbuild") / "reftool")
+    cmd = [
+        "g++", "-std=c++17", "-O2",
+        # The sources rely on libc++'s transitive includes (built on
+        # macOS); add the two missing standard headers without touching
+        # the read-only reference tree.
+        "-include", "chrono", "-include", "algorithm",
+        "-I", os.path.join(_REF, "include"),
+        "-I", os.path.join(_REPO, "native", "nthash_shim"),
+        *sorted(glob.glob(os.path.join(_REF, "src", "*.cpp"))),
+        "-o", exe,
+    ]
+    out = subprocess.run(cmd, capture_output=True, timeout=300)
+    assert out.returncode == 0, out.stderr.decode()
+    return exe
+
+
+def _run(cmd, **kw):
+    out = subprocess.run(cmd, capture_output=True, timeout=600, **kw)
+    assert out.returncode == 0, out.stdout.decode() + out.stderr.decode()
+    return out.stdout.decode()
+
+
+def _our_cli(args):
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "JAX_ENABLE_X64": "1",
+                "PYTHONPATH": _REPO})
+    return _run([sys.executable, "-m", "sketch_rna_tpu.cli", *args], env=env)
+
+
+def _read_csv(path):
+    with open(path) as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["Name", "NumReads", "EM_Abundance"]
+    return {r[0]: (float(r[1]), float(r[2])) for r in rows[1:]}
+
+
+def _assert_csvs_match(ours_path, refs_path, rtol=1e-5):
+    a = _read_csv(ours_path)
+    b = _read_csv(refs_path)
+    assert a.keys() == b.keys(), (
+        sorted(set(a) - set(b))[:5], sorted(set(b) - set(a))[:5])
+    for name in a:
+        np.testing.assert_allclose(a[name], b[name], rtol=rtol, atol=1e-9,
+                                   err_msg=name)
+    # Rank order of EM_Abundance must be identical (north-star bar);
+    # %.6g printing can tie distinct doubles, so compare with stable
+    # tie-breaking by name.
+    rank_a = sorted(a, key=lambda n: (-a[n][1], n))
+    rank_b = sorted(b, key=lambda n: (-b[n][1], n))
+    assert rank_a == rank_b
+
+
+def test_example_data_byte_identical(reftool, tmp_path):
+    """On the bundled example the reference binary's CSV is
+    BYTE-identical (modulo its nondeterministic row order) to ours."""
+    fa = os.path.join(_REPO, "examples", "sample.fa")
+    fq = os.path.join(_REPO, "examples", "sample.fq")
+    ridx = str(tmp_path / "ref.idx")
+    rcsv = str(tmp_path / "ref.csv")
+    _run([reftool, "-k", "31", "-o", "index", fa, ridx])
+    _run([reftool, "-o", "quant", ridx, fq, rcsv])
+
+    oidx = str(tmp_path / "ours.idx.npz")
+    ocsv = str(tmp_path / "ours.csv")
+    _our_cli(["-o", "index", "-k", "31", fa, oidx])
+    _our_cli(["-o", "quant", "--em-dtype", "float64", oidx, fq, ocsv])
+
+    with open(rcsv) as fh:
+        ref_rows = sorted(fh.read().strip().splitlines())
+    with open(ocsv) as fh:
+        our_rows = sorted(fh.read().strip().splitlines())
+    assert ref_rows == our_rows  # byte-identical rows
+
+
+@pytest.mark.parametrize("ks,seed", [("31", 801), ("21,31", 802)])
+def test_randomized_fixture_matches(reftool, tmp_path, ks, seed):
+    rng = np.random.default_rng(seed)
+    seqs = make_transcriptome(rng, n=18, len_range=(80, 600))
+    fa = str(tmp_path / "r.fa")
+    fq = str(tmp_path / "r.fq")
+    write_fasta(fa, [f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs])
+    max_k = max(int(k) for k in ks.split(","))
+    reads = [r for r in sample_reads(rng, seqs, n_reads=220, read_len=100)
+             if r.size >= max_k]
+    write_fastq(fq, [f"r{i}" for i in range(len(reads))], [decode(r) for r in reads])
+
+    ridx, rcsv = str(tmp_path / "ref.idx"), str(tmp_path / "ref.csv")
+    _run([reftool, "-k", ks, "-o", "index", fa, ridx])
+    _run([reftool, "-o", "quant", ridx, fq, rcsv])
+
+    oidx, ocsv = str(tmp_path / "o.idx.npz"), str(tmp_path / "o.csv")
+    _our_cli(["-o", "index", "-k", ks, fa, oidx])
+    _our_cli(["-o", "quant", "--em-dtype", "float64", oidx, fq, ocsv])
+    _assert_csvs_match(ocsv, rcsv)
+
+
+def test_cpp_index_loads_in_our_cli(reftool, tmp_path):
+    """A REAL C++-written binary index quantifies identically through
+    our CLI (index/refbin.py reader vs an actual reference file)."""
+    rng = np.random.default_rng(803)
+    seqs = make_transcriptome(rng, n=14, len_range=(80, 500))
+    fa, fq = str(tmp_path / "r.fa"), str(tmp_path / "r.fq")
+    write_fasta(fa, [f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs])
+    reads = [r for r in sample_reads(rng, seqs, n_reads=150, read_len=90)
+             if r.size >= 31]
+    write_fastq(fq, [f"r{i}" for i in range(len(reads))], [decode(r) for r in reads])
+
+    ridx = str(tmp_path / "ref.idx")
+    _run([reftool, "-k", "31", "-o", "index", fa, ridx])
+
+    csv_from_cpp_idx = str(tmp_path / "a.csv")
+    _our_cli(["-o", "quant", "--em-dtype", "float64", ridx, fq, csv_from_cpp_idx])
+
+    oidx = str(tmp_path / "o.idx.npz")
+    csv_from_our_idx = str(tmp_path / "b.csv")
+    _our_cli(["-o", "index", "-k", "31", fa, oidx])
+    _our_cli(["-o", "quant", "--em-dtype", "float64", oidx, fq, csv_from_our_idx])
+
+    # Row order differs legitimately: the C++ index stores transcripts
+    # in unordered_map iteration order, ours in FASTA order, and our CSV
+    # rows follow the index's transcript order.
+    with open(csv_from_cpp_idx) as fh:
+        a = sorted(fh.read().strip().splitlines())
+    with open(csv_from_our_idx) as fh:
+        b = sorted(fh.read().strip().splitlines())
+    assert a == b
+
+
+def test_our_refbin_index_loads_in_cpp(reftool, tmp_path):
+    """The reference binary consumes an index WRITTEN by index/refbin.py
+    and produces the same quantification as from its own index."""
+    rng = np.random.default_rng(804)
+    seqs = make_transcriptome(rng, n=14, len_range=(80, 500))
+    fa, fq = str(tmp_path / "r.fa"), str(tmp_path / "r.fq")
+    write_fasta(fa, [f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs])
+    reads = [r for r in sample_reads(rng, seqs, n_reads=150, read_len=90)
+             if r.size >= 31]
+    write_fastq(fq, [f"r{i}" for i in range(len(reads))], [decode(r) for r in reads])
+
+    ours_bin = str(tmp_path / "ours.refbin")
+    _our_cli(["-o", "index", "-k", "31", "--index-format", "refbin", fa, ours_bin])
+    csv_from_ours = str(tmp_path / "a.csv")
+    _run([reftool, "-o", "quant", ours_bin, fq, csv_from_ours])
+
+    ridx = str(tmp_path / "ref.idx")
+    _run([reftool, "-k", "31", "-o", "index", fa, ridx])
+    csv_from_refs = str(tmp_path / "b.csv")
+    _run([reftool, "-o", "quant", ridx, fq, csv_from_refs])
+
+    with open(csv_from_ours) as fh:
+        a = sorted(fh.read().strip().splitlines())
+    with open(csv_from_refs) as fh:
+        b = sorted(fh.read().strip().splitlines())
+    assert a == b
