@@ -72,6 +72,10 @@ class NtHash {
          size_t pos = 0)
       : seq_(seq), k_(k), pos_(pos), fh_(0), primed_(false) {
     (void)hash_num;  // reference always passes 1; only fh is tracked
+    // Precompute srol^k(seed) per base once, like the real library's
+    // rotated-seed tables — the roll stays O(1) per base.
+    for (int b = 0; b < 4; ++b)
+      seed_k_[b] = shim_detail::srol_n(shim_detail::kSeed[b], k_);
   }
 
   bool roll() {
@@ -88,7 +92,7 @@ class NtHash {
       return prime_from(next_start + k_);
     }
     int outgoing = base_code(seq_[pos_]);
-    fh_ = srol1(fh_) ^ srol_n(kSeed[outgoing], k_) ^ kSeed[incoming];
+    fh_ = srol1(fh_) ^ seed_k_[outgoing] ^ kSeed[incoming];
     pos_ = next_start;
     return true;
   }
@@ -127,6 +131,7 @@ class NtHash {
   size_t pos_;
   uint64_t fh_;
   bool primed_;
+  uint64_t seed_k_[4];
 };
 
 }  // namespace nthash
