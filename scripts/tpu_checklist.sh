@@ -67,6 +67,16 @@ run scale_multik python scripts/scale_check.py --transcripts 250000 \
 run stream32m python -m sketch_rna_tpu.cli -o quant \
   /tmp/sketch_scale_cache/T250000_k31.npz /tmp/big32m.fq /tmp/big32m_out.csv
 
+# 6b. GENCODE-scale TPU run vs the REAL reference binary's CSV
+#     (artifacts from the round-2 CPU parity session; float32 EM on
+#     TPU, so the bar is rank-identical + small float diffs).
+if [ -f /tmp/ours250k.npz ] && [ -f /tmp/reads1m.fq ] && [ -f /tmp/refbuild/gencode_out.csv ]; then
+  run gencode_tpu python -m sketch_rna_tpu.cli -o quant \
+    /tmp/ours250k.npz /tmp/reads1m.fq /tmp/gencode_tpu.csv
+  run gencode_tpu_cmp python scripts/compare_csv.py \
+    /tmp/gencode_tpu.csv /tmp/refbuild/gencode_out.csv --rel-tol 2e-3
+fi
+
 # 7. Full bench config matrix for the round artifact.
 run bench_configs python bench.py --configs
 
