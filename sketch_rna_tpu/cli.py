@@ -276,17 +276,25 @@ def run_quant(
                 raise FileNotFoundError(f"Could not open FASTQ file: {fq}")
             # Lazy loader: each sample parses/packs only when quantified
             # (quantify_samples), so host RAM holds one pack at a time.
+            # Under multi-process each host parses only its byte-range
+            # slice; the sharded engine merges via collectives.
             samples[os.path.splitext(os.path.basename(fq))[0]] = (
-                lambda fq=fq: _load_reads(fq, idx, config, use_native)
+                (lambda fq=fq: _load_reads_slice(fq, idx, config))
+                if multiproc
+                else (lambda fq=fq: _load_reads(fq, idx, config, use_native))
             )
-        print("Loading read completed")
-        results = quantify_samples(idx, samples, config)
+        if primary:
+            print("Loading read completed")
+        results = quantify_samples(
+            idx, samples, config, sharded=sharded or multiproc
+        )
         stem, ext = os.path.splitext(output_path)
         ext = ext or ".csv"
-        for name, result in results.items():
-            out = f"{stem}.{name}{ext}"
-            write_csv(out, result, with_tpm=with_tpm)
-            print(f"Output written to {out}")
+        if primary:
+            for name, result in results.items():
+                out = f"{stem}.{name}{ext}"
+                write_csv(out, result, with_tpm=with_tpm)
+                print(f"Output written to {out}")
         return
 
     packed = None

@@ -1428,20 +1428,24 @@ def quantify_samples(
     index: IndexArtifact,
     samples: Dict[str, Union[PackedReads, Callable[[], PackedReads]]],
     config: Optional[QuantConfig] = None,
+    sharded: bool = False,
 ) -> Dict[str, QuantResult]:
     """Multi-sample batch quant (BASELINE.json config 5): quantify many
     FASTQ samples against one loaded index.  Single-host form runs
     samples sequentially over the shared device index (index load and
     bucket tables amortized); under a multi-host mesh the natural outer
     axis is samples-per-host, each host running this loop on its share.
+    sharded=True runs each sample through the multi-device engine
+    instead (one mesh over all visible devices, reused across samples).
     """
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
+    quant = quantify_sharded if sharded else quantify
     out: Dict[str, QuantResult] = {}
     for name, packed in samples.items():
         # A callable defers the parse+pack until this sample's turn, so
         # N samples never hold N whole-file packs in host RAM at once
         # (config 5: 8 x 50M reads would otherwise be ~100 GB).
-        out[name] = quantify(index, packed() if callable(packed) else packed, config)
+        out[name] = quant(index, packed() if callable(packed) else packed, config)
     return out
 
 

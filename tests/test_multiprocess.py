@@ -188,3 +188,62 @@ def test_two_process_overflow_retry_consensus(tmp_path):
     assert a.keys() == b.keys()
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-9, atol=1e-12)
+
+
+def test_two_process_multisample(tmp_path):
+    """Multi-sample under a REAL 2-process mesh: each process parses
+    only its slice of each sample; per-sample CSVs match single-process
+    runs exactly and only the primary writes them."""
+    rng = np.random.default_rng(88)
+    seqs = make_transcriptome(rng, n=10, len_range=(60, 350))
+    fa = tmp_path / "ref.fa"
+    write_fasta(str(fa), [f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs])
+    fqs = []
+    for s in range(2):
+        reads = [r for r in sample_reads(rng, seqs, n_reads=90, read_len=80)
+                 if r.size >= 31]
+        fq = tmp_path / f"s{s}.fq"
+        write_fastq(str(fq), [f"s{s}_r{i}" for i in range(len(reads))],
+                    [decode(r) for r in reads])
+        fqs.append(str(fq))
+
+    base_env = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_ENABLE_X64": "1",
+    }
+    idx = str(tmp_path / "ref.idx.npz")
+    p = _run_cli(["-o", "index", "-k", "31", str(fa), idx], base_env)
+    out, _ = p.communicate(timeout=420)
+    assert p.returncode == 0, out.decode()
+
+    single_out = str(tmp_path / "single.csv")
+    p = _run_cli(["-o", "quant", "--em-dtype", "float64", idx,
+                  ",".join(fqs), single_out], base_env)
+    out, _ = p.communicate(timeout=420)
+    assert p.returncode == 0, out.decode()
+
+    multi_out = str(tmp_path / "multi.csv")
+    port = 29751
+    procs = [
+        _run_cli(
+            ["-o", "quant", "--em-dtype", "float64",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             idx, ",".join(fqs), multi_out],
+            base_env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    assert not any("initialize failed" in o for o in outs), outs[0]
+
+    for s in range(2):
+        with open(tmp_path / f"single.s{s}.csv") as a, \
+             open(tmp_path / f"multi.s{s}.csv") as b:
+            assert a.read() == b.read()
