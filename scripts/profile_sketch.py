@@ -55,6 +55,13 @@ def timeit(name, fn, n=20):
 
 
 print(f"B={B} L={L} ks={ks} backend={jax.default_backend()}", flush=True)
+
+# MEASUREMENT HYGIENE: on the tunneled axon backend, the FIRST device->
+# host transfer permanently degrades host dispatch throughput for the
+# whole process (~0.7-2 ms per jitted call afterwards; measured — see
+# docs/DESIGN.md "axon dispatch cliff").  All timing therefore runs
+# BEFORE any np.asarray; correctness checks happen at the end.
+checks = []
 for k in ks:
     cap = cfg.sketch_capacity_for(k, L)
     print(f"-- k={k} cap={cap}", flush=True)
@@ -68,12 +75,8 @@ for k in ks:
         lambda c, l, k=k, cap=cap: _sketch_batch_pallas_fused(c, l, k, 0.05, cap)
     )
     timeit("fused pallas (1 pass)", lambda: jit_fus(codes, lengths))
-    a = jit_jnp(codes, lengths)
-    b = jit_fus(codes, lengths)
-    import numpy as np
-
-    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
-    print("   fused == jnp: OK", flush=True)
+    checks.append((f"k={k} fused == jnp", jit_jnp(codes, lengths)[0],
+                   jit_fus(codes, lengths)[0]))
 
 if len(ks) > 1:
     # The production multi-k path: every k's sketch from ONE launch.
@@ -90,9 +93,12 @@ if len(ks) > 1:
         lambda c, l: sketch_batch_pallas_multik(c, l, ks, 0.05, all_caps)
     )
     timeit("multi-k fused pallas (1 launch)", lambda: jit_mk(codes, lengths))
-    import numpy as np
-
     for (g, _m, _o), k, cap in zip(jit_mk(codes, lengths), ks, all_caps):
         a = sketch_batch(codes, lengths, k, 0.05, cap)
-        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(g))
-    print("   multik == jnp: OK", flush=True)
+        checks.append((f"multik k={k} == jnp", a[0], g))
+
+import numpy as np
+
+for tag, a, b in checks:
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print(f"   {tag}: OK", flush=True)

@@ -56,9 +56,12 @@ class QuantConfig:
     # each tier gets a window sized to its rank (match/rowmatch.tier_plan)
     # — ~6x fewer expanded lanes than a flat expand_per_read window.
     match_tiers: bool = True
-    # Use the Pallas fused hash+threshold kernel for sketching (TPU only;
-    # the jnp windowed-XOR path is the portable reference).
-    use_pallas_sketch: bool = False
+    # (Removed in round 3: use_pallas_sketch.  Measured in the production
+    # quant on a real v5e — jnp/XLA 800.4k reads/s vs fused Pallas kernel
+    # 720.1k vs unfused Pallas hash 795.8k: XLA fuses the windowed-XOR
+    # hash + row sorts as well as the hand kernel, so the dispatch branch
+    # is gone.  The kernels remain in hash/pallas_hash.py as a validated
+    # negative result; see docs/DESIGN.md.)
     # One-hot MXU E-step (em/em.py "MXU one-hot E-step"): reformulates the
     # EM gather/scatter as dense matmuls over a 2D-tiled pi — measured
     # 3.7x per iteration on TPU at small T.  "auto" enables it on TPU for

@@ -57,7 +57,7 @@ def quantify_sharded_multihost(
     identical everywhere via an allgather-max consensus.  Returns the
     replicated QuantResult on every process.
     """
-    from sketch_rna_tpu.dist.mesh import make_mesh, mesh_factor
+    from sketch_rna_tpu.dist.mesh import index_device_bytes, make_mesh, mesh_factor
     from sketch_rna_tpu.pipeline import (
         _device_index,
         _empty_result,
@@ -68,7 +68,12 @@ def quantify_sharded_multihost(
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
     n_proc = jax.process_count()
     if mesh is None:
-        dp, ip = mesh_factor(len(jax.devices()))
+        # Deterministic across processes: the shape-only estimate depends
+        # only on the (shared) index artifact, so every process widens
+        # identically.
+        dp, ip = mesh_factor(
+            len(jax.devices()), index_bytes=index_device_bytes(index)
+        )
         mesh = make_mesh(dp, ip)
     dp = mesh.shape["data"]
     if dp % n_proc:

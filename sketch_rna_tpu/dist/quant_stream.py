@@ -62,7 +62,6 @@ def _match_chunk_sharded(
     num_transcripts,
     match_tiers,
     tier_widths,
-    use_pallas_sketch=False,
 ):
     """One chunk on one (data, index) device: local-shard matching with
     the cross-shard event merge.  Returns (tid, score, mask, drops[K],
@@ -75,7 +74,6 @@ def _match_chunk_sharded(
     for ki, (h, m, ov) in enumerate(
         sketch_all_k(
             codes, lengths, kmer_lengths, sketch_fraction, sketch_caps,
-            use_pallas=use_pallas_sketch,
         )
     ):
         sk_ovs.append(ov)
@@ -165,7 +163,6 @@ def _match_chunk_sharded(
         "m_cap",
         "narrow_width",
         "mid_width",
-        "use_pallas_sketch",
     ),
 )
 def stream_sharded_scan(
@@ -188,7 +185,6 @@ def stream_sharded_scan(
     m_cap: int = 1 << 17,
     narrow_width: int = 4,
     mid_width: int = 8,
-    use_pallas_sketch: bool = False,
 ):
     """Program 1: chunked match into per-device class buffers.
 
@@ -231,7 +227,6 @@ def stream_sharded_scan(
                 num_transcripts=num_transcripts,
                 match_tiers=match_tiers,
                 tier_widths=tier_widths,
-                use_pallas_sketch=use_pallas_sketch,
             )
             score = jnp.where(mask, score, 0)
             bt, bs, bw, fl = jax.lax.cond(

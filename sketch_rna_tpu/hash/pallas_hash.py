@@ -1,5 +1,16 @@
 """Pallas TPU kernel: fused ntHash2 + FracMinHash threshold.
 
+STATUS (round 3): VALIDATED NEGATIVE RESULT — not on the production
+path.  Measured in the production quant on a real v5e chip (bench
+config, 131k x 150 bp reads, k=31): jnp/XLA path 800.4k reads/s, fused
+Pallas kernel 720.1k, unfused Pallas hash + sort dedup 795.8k.  The
+windowed-XOR hash is bandwidth-light elementwise code XLA already fuses
+into one VMEM pass, and inside the production lax.scan the pallas_call
+boundary only blocks surrounding fusion.  The production dispatch branch
+(QuantConfig.use_pallas_sketch) was therefore REMOVED; these kernels and
+their bit-equality tests remain as the recorded measurement and as the
+template for future Pallas work (e.g. an EM posterior accumulator).
+
 The innermost quant kernel (SURVEY.md §3.3: "the kernel the TPU build
 turns into a Pallas primitive: per-base rolling-hash update + predicated
 emit, batched over thousands of reads").  One grid step processes a
@@ -114,27 +125,36 @@ def _fused_sketch_one_k(codes, lengths, *, k, nk, threshold, cap, cap_pad):
     keep = (pos < lengths - (k - 1)) & (h <= jnp.uint32(threshold))
     h = jnp.where(keep, h, jnp.uint32(_SENTINEL))
 
+    # Mosaic has no unsigned reductions; the sign-bit XOR maps uint32
+    # order onto int32 order EXACTLY (x ^ 0x80000000 viewed signed), so
+    # the min-extraction runs in int32 and the final XOR restores the
+    # original bits (sentinel 0xFFFFFFFF <-> INT32_MAX round-trips).
+    sign = jnp.int32(-(1 << 31))
+    sent_i = jnp.int32((1 << 31) - 1)
+    hi = jax.lax.bitcast_convert_type(h, jnp.int32) ^ sign
+
     outs = []
     prev = None
     for _ in range(cap):
         if prev is None:
-            m = jnp.min(h, axis=1, keepdims=True)
+            m = jnp.min(hi, axis=1, keepdims=True)
         else:
-            m = jnp.min(
-                jnp.where(h > prev, h, jnp.uint32(_SENTINEL)), axis=1, keepdims=True
-            )
+            m = jnp.min(jnp.where(hi > prev, hi, sent_i), axis=1, keepdims=True)
         outs.append(m)
         prev = m
     if cap_pad > cap:
-        outs.append(jnp.full((TB, cap_pad - cap), _SENTINEL, jnp.uint32))
-    # prev == SENTINEL (ran dry) makes the drop comparison vacuously
+        outs.append(jnp.full((TB, cap_pad - cap), sent_i, jnp.int32))
+    # prev == sentinel (ran dry) makes the drop comparison vacuously
     # false since kept lanes are <= threshold.
     drop = jnp.sum(
-        ((h != jnp.uint32(_SENTINEL)) & (h > prev)).astype(jnp.int32),
+        ((hi != sent_i) & (hi > prev)).astype(jnp.int32),
         axis=1,
         keepdims=True,
     )
-    return jnp.concatenate(outs, axis=1), drop
+    out = jax.lax.bitcast_convert_type(
+        jnp.concatenate(outs, axis=1) ^ sign, jnp.uint32
+    )
+    return out, drop
 
 
 def _fused_sketch_kernel(

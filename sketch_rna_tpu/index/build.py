@@ -85,15 +85,64 @@ def _cpu_device():
 _DEVICE_HASH_MIN_BASES = 1 << 20
 
 
-def _bucketize(lengths: Sequence[int]) -> Dict[int, List[int]]:
-    """Group transcript indices into power-of-two padded-length buckets."""
-    buckets: Dict[int, List[int]] = {}
-    for i, ln in enumerate(lengths):
-        b = 256
-        while b < ln:
-            b <<= 1
-        buckets.setdefault(b, []).append(i)
-    return buckets
+# Fixed hashing tile: every transcript is cut into TL-base tiles with a
+# (max_k - 1)-base halo overlap, so EVERY device hashing launch has the
+# same [TILE_BATCH, TL] shape — exactly one compile per k, for any
+# transcriptome (the round-2 bucketed scheme compiled one program per
+# (pow2-length-bucket, chunk-height, k), which dominated cold index
+# builds through remote-compile latency).  Tiling the rolling-window
+# hash is exact: a window's hash depends only on its k bases, and any
+# window duplicated in a halo produces a duplicate (hash, tid) pair the
+# set-semantics dedup drops anyway (SURVEY.md §5 long-context note).
+_TILE_LEN = 8192
+_TILE_BATCH = _BATCH_ELEMENT_BUDGET // _TILE_LEN  # 2048
+
+
+def _pack_tiles(
+    seq_codes: List[np.ndarray],
+    lengths: np.ndarray,
+    sketchable: List[int],
+    max_k: int,
+):
+    """Cut the sketchable transcripts into halo-overlapped fixed tiles.
+
+    Returns (tiles [n_tiles, TL] uint8, tile_len [n_tiles] i32,
+    tile_tid [n_tiles] i32), n_tiles padded to a _TILE_BATCH multiple
+    (pad tiles carry length 0 and hash to nothing).  All array work is
+    vectorized numpy — no per-base Python.
+    """
+    stride = _TILE_LEN - (max_k - 1)
+    sk_lens = lengths[sketchable].astype(np.int64)
+    n_tiles_of = np.maximum((sk_lens - max_k) // stride, 0) + 1
+    total_tiles = int(n_tiles_of.sum())
+    n_pad = ((total_tiles + _TILE_BATCH - 1) // _TILE_BATCH) * _TILE_BATCH
+    n_pad = max(n_pad, _TILE_BATCH)
+
+    flat = np.concatenate(
+        [seq_codes[i] for i in sketchable] + [np.zeros(_TILE_LEN, np.uint8)]
+    )
+    offsets = np.zeros(len(sketchable), dtype=np.int64)
+    np.cumsum(sk_lens[:-1], out=offsets[1:])
+
+    # Per-tile source transcript and within-transcript tile rank.
+    owner = np.repeat(np.arange(len(sketchable), dtype=np.int64), n_tiles_of)
+    first_tile = np.zeros(len(sketchable), dtype=np.int64)
+    np.cumsum(n_tiles_of[:-1], out=first_tile[1:])
+    rank = np.arange(total_tiles, dtype=np.int64) - first_tile[owner]
+    start = offsets[owner] + rank * stride
+    tlen = np.minimum(sk_lens[owner] - rank * stride, _TILE_LEN)
+
+    tiles = np.zeros((n_pad, _TILE_LEN), dtype=np.uint8)
+    # Strided gather of every tile's bases in one shot (flat is padded by
+    # a full tile, so the tail window never reads out of bounds).
+    tiles[:total_tiles] = flat[
+        start[:, None] + np.arange(_TILE_LEN, dtype=np.int64)[None, :]
+    ]
+    tile_len = np.zeros(n_pad, dtype=np.int32)
+    tile_len[:total_tiles] = tlen
+    tile_tid = np.zeros(n_pad, dtype=np.int32)
+    tile_tid[:total_tiles] = np.asarray(sketchable, dtype=np.int32)[owner]
+    return tiles, tile_len, tile_tid
 
 
 def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
@@ -114,55 +163,46 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
     total_bases = int(lengths.sum())
     cpu = _cpu_device() if total_bases < _DEVICE_HASH_MIN_BASES else None
 
+    tiles, tile_len, tile_tid = _pack_tiles(seq_codes, lengths, sketchable, max_k)
+    n_batches = tiles.shape[0] // _TILE_BATCH
+    # Transfer cap: generous headroom over the expected kept fraction;
+    # widened to everything for large fractions.
+    frac_cap = min(1.0, config.sketch_fraction * 2.0 + 0.05)
+    cap = max(int(_TILE_BATCH * _TILE_LEN * frac_cap), 1)
+
+    # Upload each tile batch ONCE and hash every k from it (multi-k pays
+    # one transfer); per-k pair parts accumulate on the host.
+    hash_parts: Dict[int, List[np.ndarray]] = {k: [] for k in ks}
+    tid_parts: Dict[int, List[np.ndarray]] = {k: [] for k in ks}
+    for b in range(n_batches):
+        sl = slice(b * _TILE_BATCH, (b + 1) * _TILE_BATCH)
+        cj, lj, tj = tiles[sl], tile_len[sl], tile_tid[sl]
+        if cpu is not None:
+            cj = jax.device_put(cj, cpu)
+            lj = jax.device_put(lj, cpu)
+            tj = jax.device_put(tj, cpu)
+        else:
+            cj = jnp.asarray(cj)
+            lj = jnp.asarray(lj)
+            tj = jnp.asarray(tj)
+        for k in ks:
+            chunk_cap = min(cap, _TILE_BATCH * (_TILE_LEN - k + 1))
+            ph, pt, n_kept = _hash_pairs_batch(cj, lj, tj, k, thr, chunk_cap)
+            n = int(n_kept)
+            if n > chunk_cap:
+                # Extremely skewed batch: redo with the full width.
+                ph, pt, n_kept = _hash_pairs_batch(
+                    cj, lj, tj, k, thr, _TILE_BATCH * (_TILE_LEN - k + 1)
+                )
+            if n:
+                hash_parts[k].append(np.asarray(ph[:n]))
+                tid_parts[k].append(np.asarray(pt[:n]))
+
     per_k: Dict[int, KIndex] = {}
     for k in ks:
-        hash_parts: List[np.ndarray] = []
-        tid_parts: List[np.ndarray] = []
-        buckets = _bucketize([int(lengths[i]) for i in sketchable])
-        for pad_len, rows in buckets.items():
-            ids = [sketchable[r] for r in rows]
-            bsz = max(_BATCH_ELEMENT_BUDGET // pad_len, 1)
-            # Transfer cap: generous headroom over the expected kept
-            # fraction; widened to everything for large fractions.
-            frac_cap = min(1.0, config.sketch_fraction * 2.0 + 0.05)
-            cap = max(int(bsz * pad_len * frac_cap), 1)
-            for start in range(0, len(ids), bsz):
-                chunk = ids[start : start + bsz]
-                # Pad chunk height to a power of two: the (bucket_len,
-                # height, k) shape family is then small and largely
-                # dataset-independent, so compiled programs (and the
-                # persistent cache) transfer across transcriptomes
-                # without exploding padding waste for tiny inputs.
-                B = 1 << max(len(chunk) - 1, 0).bit_length()
-                B = max(min(B, bsz), 1)
-                codes = np.zeros((B, pad_len), dtype=np.uint8)
-                lens = np.zeros(B, dtype=np.int32)
-                tid_of_row = np.zeros(B, dtype=np.int32)
-                for r, tid in enumerate(chunk):
-                    c = seq_codes[tid]
-                    codes[r, : c.size] = c
-                    lens[r] = c.size
-                    tid_of_row[r] = tid
-                chunk_cap = min(cap, B * (pad_len - k + 1))
-                cj, lj, tj = codes, lens, tid_of_row
-                if cpu is not None:
-                    cj = jax.device_put(codes, cpu)
-                    lj = jax.device_put(lens, cpu)
-                    tj = jax.device_put(tid_of_row, cpu)
-                ph, pt, n_kept = _hash_pairs_batch(cj, lj, tj, k, thr, chunk_cap)
-                n = int(n_kept)
-                if n > chunk_cap:
-                    # Extremely skewed batch: redo with the full width.
-                    ph, pt, n_kept = _hash_pairs_batch(
-                        cj, lj, tj, k, thr, B * (pad_len - k + 1)
-                    )
-                if n:
-                    hash_parts.append(np.asarray(ph[:n]))
-                    tid_parts.append(np.asarray(pt[:n]))
-
-        if hash_parts:
-            all_h = np.concatenate(hash_parts)
-            all_t = np.concatenate(tid_parts)
+        if hash_parts[k]:
+            all_h = np.concatenate(hash_parts[k])
+            all_t = np.concatenate(tid_parts[k])
             n_real = all_h.size
             if n_real > 1 << 16:
                 # Big pair sort on the accelerator; pad to a power of two

@@ -47,23 +47,9 @@ def build_bucket_table(
     Merging halves nb and recomputes the exact max occupancy from the
     pairwise-summed histogram — no re-bucketing pass."""
     U = int(keys.shape[0])
-    nb = 1 << max(10, min(22, (max(U // target_load, 1)).bit_length()))
-    max_key = int(keys.max()) if U else 0
-    shift = 0
-    while (max_key >> shift) >= nb:
-        shift += 1
-
+    nb, mb, shift = bucket_table_shape(keys, target_load, max_row_lanes)
     b = (keys.astype(np.uint64) >> shift).astype(np.int64)
     counts = np.bincount(b, minlength=nb) if U else np.zeros(nb, np.int64)
-    while nb > 1024:
-        merged = counts.reshape(-1, 2).sum(axis=1)
-        if 3 * max(int(merged.max()) if U else 0, 1) > max_row_lanes:
-            break
-        counts = merged
-        nb >>= 1
-        shift += 1
-        b >>= 1
-    mb = max(int(counts.max()) if U else 0, 1)
     packed = np.zeros((nb, 3 * mb), dtype=np.int32)
     packed[:, :mb] = -1  # sentinel key bits
     if U:
@@ -79,6 +65,32 @@ def build_bucket_table(
         packed[b, mb + within] = row_ptr[:-1]
         packed[b, 2 * mb + within] = lens
     return BucketTable(packed=packed, shift=shift, mb=mb)
+
+
+def bucket_table_shape(
+    keys: np.ndarray, target_load: int = 2, max_row_lanes: int = 128
+) -> Tuple[int, int, int]:
+    """(nb, mb, shift) that build_bucket_table would choose — the same
+    histogram + merge logic without constructing the packed table.  Used
+    to estimate the device footprint of a replicated index (mesh-width
+    auto-selection) before any device allocation."""
+    U = int(keys.shape[0])
+    nb = 1 << max(10, min(22, (max(U // target_load, 1)).bit_length()))
+    max_key = int(keys.max()) if U else 0
+    shift = 0
+    while (max_key >> shift) >= nb:
+        shift += 1
+    b = (keys.astype(np.uint64) >> shift).astype(np.int64)
+    counts = np.bincount(b, minlength=nb) if U else np.zeros(nb, np.int64)
+    while nb > 1024:
+        merged = counts.reshape(-1, 2).sum(axis=1)
+        if 3 * max(int(merged.max()) if U else 0, 1) > max_row_lanes:
+            break
+        counts = merged
+        nb >>= 1
+        shift += 1
+    mb = max(int(counts.max()) if U else 0, 1)
+    return nb, mb, shift
 
 
 def bucket_lookup(

@@ -43,6 +43,7 @@ from sketch_rna_tpu.match.rowmatch import (
     row_events_to_candidates,
     row_expand_from_runs,
     row_match_runs_tiered,
+    tier_plan,
 )
 from sketch_rna_tpu.em.classes import (
     build_class_tables,
@@ -121,7 +122,6 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
         "sketch_fraction",
         "sketch_caps",
         "bucket_meta",
-        "use_pallas_sketch",
     ),
 )
 def _event_totals_sorted(
@@ -133,7 +133,6 @@ def _event_totals_sorted(
     sketch_fraction,
     sketch_caps,
     bucket_meta,
-    use_pallas_sketch=False,
 ):
     """Calibration sample (sketch + probe only, no expansion): per-read
     max-per-k posting-event totals, ascending, concatenated with the
@@ -141,8 +140,7 @@ def _event_totals_sorted(
     tiered EXPANSION windows; the second sizes the tiered PROBE width
     (sketch_match_step probe_width)."""
     sketches = sketch_all_k(
-        codes, lengths, kmer_lengths, sketch_fraction, sketch_caps,
-        use_pallas=use_pallas_sketch,
+        codes, lengths, kmer_lengths, sketch_fraction, sketch_caps
     )
     tk = None
     nk = None
@@ -206,7 +204,6 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
             sketch_fraction=config.sketch_fraction,
             sketch_caps=caps,
             bucket_meta=bucket_meta,
-            use_pallas_sketch=config.use_pallas_sketch,
         )
     )
     st, sc = sample[: len(sample) // 2], sample[len(sample) // 2 :]
@@ -235,7 +232,6 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
         "expand_per_read",
         "candidate_capacity",
         "bucket_meta",
-        "use_pallas_sketch",
         "num_transcripts",
         "match_tiers",
         "restore_order",
@@ -256,7 +252,6 @@ def sketch_match_step(
     expand_per_read: int,
     candidate_capacity: int,
     bucket_meta: Tuple[Tuple[int, int], ...],
-    use_pallas_sketch: bool = False,
     num_transcripts: int = 0,
     match_tiers: bool = True,
     restore_order: bool = False,
@@ -299,8 +294,7 @@ def sketch_match_step(
     )
     overflows, hs, ms = [], [], []
     for h, m, ov in sketch_all_k(
-        codes, lengths, kmer_lengths, sketch_fraction, sketch_caps,
-        use_pallas=use_pallas_sketch,
+        codes, lengths, kmer_lengths, sketch_fraction, sketch_caps
     ):
         overflows.append(ov)
         hs.append(h)
@@ -409,7 +403,6 @@ def sketch_match_step(
         "expand_per_read",
         "candidate_capacity",
         "bucket_meta",
-        "use_pallas_sketch",
         "num_transcripts",
         "match_tiers",
         "tier_widths",
@@ -429,7 +422,6 @@ def match_scan(
     expand_per_read: int,
     candidate_capacity: int,
     bucket_meta: Tuple[Tuple[int, int], ...],
-    use_pallas_sketch: bool = False,
     num_transcripts: int = 0,
     match_tiers: bool = True,
     tier_widths: Tuple[int, int] = (16, 64),
@@ -457,7 +449,6 @@ def match_scan(
             expand_per_read=expand_per_read,
             candidate_capacity=candidate_capacity,
             bucket_meta=bucket_meta,
-            use_pallas_sketch=use_pallas_sketch,
             num_transcripts=num_transcripts,
             match_tiers=match_tiers,
             tier_widths=tier_widths,
@@ -513,6 +504,11 @@ class QuantResult:
     stats: Dict[str, int]
     timing: Dict[str, float] = dataclasses.field(default_factory=dict)
     lengths: Optional[np.ndarray] = None  # [T] true transcript lengths
+    # Static size accounting of the shapes the device actually processed
+    # (hash windows, probe gather bytes, expansion/sort lanes, EM lanes)
+    # — the inputs to bench.py's roofline model.  Host-computed from the
+    # static plans; no device syncs.
+    sizes: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     def tpm(self) -> np.ndarray:
         """True TPM from the soft-assigned counts and real transcript
@@ -856,6 +852,13 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
     tbl_parts = []
     ncm = 0  # device scalar after the first bucket
     stats_parts = []
+    sizes = {
+        "reads_padded": 0,
+        "hash_windows": 0,  # k-mer windows hashed (Σ_k rows x (L_eff-k+1))
+        "hash_ops": 0,  # 32-bit seed-XOR ops (k per window, low-32 path)
+        "probe_bytes": 0,  # bucket-table row-gather bytes (the probe's HBM cost)
+        "group_lanes": 0,  # expansion-window lanes row-sorted for grouping
+    }
     for pad in unique_pads:
         if len(unique_pads) == 1:
             codes_b = codes_dev[:, : min(pad, packed.padded_len)]
@@ -899,7 +902,6 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
                 expand_per_read=config.expand_per_read,
                 candidate_capacity=config.candidate_capacity,
                 bucket_meta=bucket_meta,
-                use_pallas_sketch=config.use_pallas_sketch,
                 num_transcripts=index.num_transcripts,
                 match_tiers=tiers,
                 tier_widths=widths,
@@ -910,6 +912,35 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
         tbl_parts.append((t, s))
         ncm = nc if isinstance(ncm, int) else jnp.maximum(ncm, nc)
         stats_parts.append(st)
+
+        # Static size accounting for the roofline model (exact: these are
+        # the shapes the scan's programs actually process).
+        K = len(ks)
+        sizes["reads_padded"] += Nb
+        for ki, k in enumerate(ks):
+            nw = max(L - k + 1, 0)
+            sizes["hash_windows"] += Nb * nw
+            sizes["hash_ops"] += Nb * nw * k
+            _, mb = bucket_meta[ki]
+            cap = caps[ki]
+            tiered = (
+                config.match_tiers
+                and probe_w is not None
+                and B >= 1024
+                and probe_w < max(caps)
+            )
+            if tiered and probe_w < cap:
+                B0 = B - B // 16
+                rows_probed = B0 * probe_w + (B - B0) * cap
+            else:
+                rows_probed = B * cap
+            sizes["probe_bytes"] += nb_b * rows_probed * 3 * mb * 4
+        plan = (
+            tier_plan(B, config.expand_per_read, widths)
+            if config.match_tiers
+            else ((B, config.expand_per_read),)
+        )
+        sizes["group_lanes"] += nb_b * sum(r * w for r, w in plan) * K
     if len(tbl_parts) == 1:
         tbl_tid, tbl_score = tbl_parts[0]
     else:
@@ -923,7 +954,7 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
         for st in stats_parts[1:]:
             acc = acc + st[k]
         stats[k] = acc
-    return tbl_tid, tbl_score, ncm, stats
+    return tbl_tid, tbl_score, ncm, stats, sizes
 
 
 def _run_em(
@@ -1018,7 +1049,7 @@ def _quantify_fused(
 
     timer = PhaseTimer()
     with timer.phase("match_dispatch"):
-        tbl_tid, tbl_score, n_cand_max, stats = _match_tables(
+        tbl_tid, tbl_score, n_cand_max, stats, sizes = _match_tables(
             index, packed, config, timer
         )
 
@@ -1114,6 +1145,8 @@ def _quantify_fused(
         if sync_phases:
             jax.block_until_ready(tables)
 
+    sizes["em_lanes"] = sum(int(np.prod(t[0].shape)) for t in tables)
+    sizes["em_width_max"] = max(int(t[0].shape[1]) for t in tables)
     with timer.phase("em_assign"):
         use_mxu = resolve_em_mxu(
             config.em_mxu,
@@ -1206,6 +1239,7 @@ def _quantify_fused(
         stats=host_stats,
         timing=timer.report(),
         lengths=np.asarray(index.lengths),
+        sizes=sizes,
     )
 
 
@@ -1227,7 +1261,7 @@ def quantify_sharded(
     """
     import jax
 
-    from sketch_rna_tpu.dist.mesh import make_mesh, mesh_factor
+    from sketch_rna_tpu.dist.mesh import index_device_bytes, make_mesh, mesh_factor
 
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
     if jax.process_count() > 1:
@@ -1242,7 +1276,13 @@ def quantify_sharded(
         # to B=0 rows runs EM with pc/0 = inf pi (ADVICE r1).
         return _empty_result(index)
     if mesh is None:
-        dp, ip = mesh_factor(len(jax.devices()))
+        # index_bytes auto-widens the index axis when a full replica
+        # would exceed the per-device HBM budget (BASELINE config 4:
+        # GENCODE-scale indexes shard across hosts without the caller
+        # having to know to ask).
+        dp, ip = mesh_factor(
+            len(jax.devices()), index_bytes=index_device_bytes(index)
+        )
         mesh = make_mesh(dp, ip)
     dp = mesh.shape["data"]
     ip = mesh.shape["index"]
@@ -1323,7 +1363,6 @@ def _sharded_stream_core(
             m_cap=m_cap,
             narrow_width=_EM_NARROW_WIDTH,
             mid_width=_EM_MID_WIDTH,
-            use_pallas_sketch=config.use_pallas_sketch,
         )
 
     tiers_now = config.match_tiers

@@ -1,10 +1,11 @@
 """Sketch-stage dispatch: one helper every pipeline call site uses.
 
-Chooses between the jnp path (hash fused by XLA + two dedup row sorts),
-the fused Pallas kernel, and — for multi-k with short-read capacities —
-the multi-k fused kernel that loads the codes tile once and emits every
-k's sketch from a single launch.  All paths are bit-identical on sketch
-values/masks (tests/test_pallas_hash.py).
+The production path is the jnp windowed-XOR hash (fused by XLA into one
+VMEM pass) + two dedup row sorts.  A hand-written Pallas dispatch branch
+was removed in round 3 after production A/B on a real v5e chip: jnp/XLA
+800.4k reads/s vs the fused Pallas kernel 720.1k vs the unfused Pallas
+hash 795.8k (bench config, k=31).  The kernels live on in
+hash/pallas_hash.py as a validated negative result.
 """
 
 from __future__ import annotations
@@ -17,11 +18,6 @@ import jax.numpy as jnp
 # a lazy import during tracing initializes the target module's jnp-level
 # constants mid-trace, corrupting jit dispatch (see pipeline.py's import
 # invariant note).
-from sketch_rna_tpu.hash.pallas_hash import (
-    _FUSED_MAX_CAPACITY,
-    sketch_batch_pallas,
-    sketch_batch_pallas_multik,
-)
 from sketch_rna_tpu.sketch.fracminhash import sketch_batch
 
 
@@ -31,18 +27,8 @@ def sketch_all_k(
     kmer_lengths: Sequence[int],
     fraction: float,
     caps: Sequence[int],
-    use_pallas: bool = False,
 ) -> Tuple:
     """[(hashes, mask, n_overflow)] per k."""
-    if use_pallas:
-        if len(kmer_lengths) > 1 and max(caps) <= _FUSED_MAX_CAPACITY:
-            return sketch_batch_pallas_multik(
-                codes, lengths, tuple(kmer_lengths), fraction, tuple(caps)
-            )
-        return tuple(
-            sketch_batch_pallas(codes, lengths, k, fraction, cap)
-            for k, cap in zip(kmer_lengths, caps)
-        )
     return tuple(
         sketch_batch(codes, lengths, k, fraction, cap)
         for k, cap in zip(kmer_lengths, caps)

@@ -61,7 +61,6 @@ log = logging.getLogger(__name__)
         "expand_per_read",
         "candidate_capacity",
         "bucket_meta",
-        "use_pallas_sketch",
         "num_transcripts",
         "match_tiers",
         "tier_widths",
@@ -86,7 +85,6 @@ def stream_match_scan(
     expand_per_read: int,
     candidate_capacity: int,
     bucket_meta: Tuple[Tuple[int, int], ...],
-    use_pallas_sketch: bool = False,
     num_transcripts: int = 0,
     match_tiers: bool = True,
     tier_widths: Tuple[int, int] = (16, 64),
@@ -122,7 +120,6 @@ def stream_match_scan(
             expand_per_read=expand_per_read,
             candidate_capacity=candidate_capacity,
             bucket_meta=bucket_meta,
-            use_pallas_sketch=use_pallas_sketch,
             num_transcripts=num_transcripts,
             match_tiers=match_tiers,
             tier_widths=tier_widths,
@@ -363,7 +360,6 @@ def quantify_streamed(
                 expand_per_read=config.expand_per_read,
                 candidate_capacity=C,
                 bucket_meta=bucket_meta,
-                use_pallas_sketch=config.use_pallas_sketch,
                 num_transcripts=T,
                 match_tiers=config.match_tiers,
                 tier_widths=widths,

@@ -19,6 +19,8 @@ import pytest
 
 from util import decode, make_transcriptome, sample_reads, write_fasta, write_fastq
 
+pytestmark = pytest.mark.slow  # spawns 2-process jax.distributed CLI runs
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -35,9 +35,10 @@ def _have_reference() -> bool:
     return os.path.isdir(os.path.join(_REF, "src"))
 
 
-pytestmark = pytest.mark.skipif(
-    not _have_reference(), reason="reference sources not present"
-)
+pytestmark = [
+    pytest.mark.skipif(not _have_reference(), reason="reference sources not present"),
+    pytest.mark.slow,  # compiles the reference tool + full CLI subprocess runs
+]
 
 
 @pytest.fixture(scope="module")

@@ -14,6 +14,9 @@ from sketch_rna_tpu.em.em import run_em_assign_partitioned
 from sketch_rna_tpu.em.segsum import BLOCK, build_segsum_plan, segsum_apply
 
 
+@pytest.mark.slow  # ~30s/case on CPU (associative_scan compiles per shape);
+# core-suite coverage stays via the pad-lanes, EM-vs-scatter and
+# full-pipeline on/off tests below
 @pytest.mark.parametrize(
     "n,T",
     [

@@ -53,6 +53,42 @@ def test_mesh_factor():
     assert mesh_factor(6, max_index_shards=4) == (3, 2)
 
 
+def test_mesh_factor_auto_widens_for_big_index():
+    gib = 1 << 30
+    # A replica that fits the budget: the balanced default wins.
+    assert mesh_factor(8, index_bytes=1 * gib, hbm_budget_bytes=4 * gib) == (4, 2)
+    # 12 GiB replica / 4 GiB budget: fit needs >= 4 shards even though
+    # that shrinks the data axis below the index axis.
+    assert mesh_factor(8, index_bytes=12 * gib, hbm_budget_bytes=4 * gib) == (2, 4)
+    # Enormous index: widen all the way to index-only.
+    assert mesh_factor(8, index_bytes=60 * gib, hbm_budget_bytes=4 * gib) == (1, 8)
+    # Widening never exceeds the device count (fits-or-not, 1 device).
+    assert mesh_factor(1, index_bytes=60 * gib, hbm_budget_bytes=4 * gib) == (1, 1)
+    # Non-pow2 device counts widen through divisors (3 shards fit here).
+    assert mesh_factor(6, index_bytes=12 * gib, hbm_budget_bytes=4 * gib) == (2, 3)
+
+
+def test_index_device_bytes(problem):
+    from sketch_rna_tpu.dist.mesh import index_device_bytes
+
+    _, idx, _ = problem
+    b = index_device_bytes(idx)
+    # Two k tables at >= 1024 buckets x 3 lanes x 4 bytes each.
+    assert b >= 2 * 1024 * 3 * 4
+    # The estimate must reflect build_bucket_table's REAL shapes.
+    from sketch_rna_tpu.match.bucket_lookup import (
+        build_bucket_table,
+        bucket_table_shape,
+    )
+
+    for k in idx.kmer_lengths:
+        ki = idx.per_k[k]
+        bt = build_bucket_table(ki.keys, ki.row_ptr)
+        nb, mb, shift = bucket_table_shape(ki.keys)
+        assert bt.packed.shape == (nb, 3 * mb)
+        assert (bt.shift, bt.mb) == (shift, mb)
+
+
 @pytest.mark.parametrize("shape", [(4, 2), (8, 1), (2, 2), (2, 4), (1, 8)])
 def test_sharded_matches_single_device(problem, shape):
     cfg, idx, packed = problem
