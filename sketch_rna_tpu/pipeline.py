@@ -1199,9 +1199,21 @@ def _quantify_fused(
         stat_keys = sorted(stats)
         f_dtype = jnp.asarray(pi).dtype
         floats = jnp.concatenate([jnp.ravel(pi), jnp.ravel(weighted)])
+        # has_entry rides as PACKED BITS (T/32 words instead of T): the
+        # tunnel moves device->host data at only tens of MB/s, so at
+        # GENCODE scale the bool-as-int32 plane was a third of the fetch.
+        Tw = (T + 31) // 32
+        hb = jnp.ravel(has_entry).astype(jnp.uint32)
+        if Tw * 32 > T:
+            hb = jnp.concatenate([hb, jnp.zeros(Tw * 32 - T, jnp.uint32)])
+        hbits = jnp.sum(
+            hb.reshape(Tw, 32) << jnp.arange(32, dtype=jnp.uint32)[None, :],
+            axis=1,
+            dtype=jnp.uint32,
+        )
         parts = (
             [jnp.reshape(jnp.asarray(iters, jnp.int32), (1,))]
-            + [jnp.ravel(has_entry).astype(jnp.int32)]
+            + [jax.lax.bitcast_convert_type(hbits, jnp.int32)]
             + [jnp.ravel(jnp.asarray(stats[k])).astype(jnp.int32) for k in stat_keys]
         )
         # float32 results bitcast into the int bundle (bits round-trip
@@ -1217,9 +1229,12 @@ def _quantify_fused(
             ints_h[-2 * T :].view(np.float32) if one_transfer else np.asarray(floats)
         )
         iters = int(ints_h[0])
-        has_entry = ints_h[1 : 1 + T].astype(bool)
+        hwords = ints_h[1 : 1 + Tw].view(np.uint32)
+        has_entry = (
+            (hwords[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+        ).astype(bool).reshape(-1)[:T]
         host_stats = {}
-        off = 1 + T
+        off = 1 + Tw
         for k in stat_keys:
             n = int(np.prod(np.shape(stats[k]))) if np.shape(stats[k]) else 1
             host_stats[k] = int(ints_h[off : off + n].sum())

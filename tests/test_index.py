@@ -65,3 +65,22 @@ def test_artifact_roundtrip(tmp_path, records):
         np.testing.assert_array_equal(idx2.per_k[k].keys, idx.per_k[k].keys)
         np.testing.assert_array_equal(idx2.per_k[k].row_ptr, idx.per_k[k].row_ptr)
         np.testing.assert_array_equal(idx2.per_k[k].postings, idx.per_k[k].postings)
+
+
+def test_build_backends_identical(records, monkeypatch):
+    """The CPU-backend build (default) and the accelerator-path kernels
+    (_hash_pos_batch + device pair sort) must produce identical CSR
+    arrays — the backend is a performance choice, never a semantic one."""
+    recs, _ = records
+    cfg = QuantConfig(kmer_lengths=(21, 31))
+    idx_cpu = build_index(recs, cfg)
+    monkeypatch.setenv("SKETCH_TPU_INDEX_BACKEND", "accelerator")
+    idx_acc = build_index(recs, cfg)
+    for k in cfg.kmer_lengths:
+        np.testing.assert_array_equal(idx_acc.per_k[k].keys, idx_cpu.per_k[k].keys)
+        np.testing.assert_array_equal(
+            idx_acc.per_k[k].row_ptr, idx_cpu.per_k[k].row_ptr
+        )
+        np.testing.assert_array_equal(
+            idx_acc.per_k[k].postings, idx_cpu.per_k[k].postings
+        )
