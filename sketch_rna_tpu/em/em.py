@@ -92,13 +92,25 @@ def resolve_em_mxu(mode: str, num_transcripts: int, total_lanes: int, dtype) -> 
     return mxu_em_auto(num_transcripts, total_lanes, dtype)
 
 
-def resolve_em_segsum(mode: str, dtype, use_mxu: bool) -> bool:
+def resolve_em_segsum(
+    mode: str,
+    dtype,
+    use_mxu: bool,
+    total_lanes: int = 0,
+    num_transcripts: int = 0,
+) -> bool:
     """Map the config's em_segsum mode to a decision (see em/segsum.py).
 
     Auto policy: the sorted segmented-scan posterior sum replaces the
-    duplicate-index scatter whenever the MXU one-hot path didn't claim
-    the step and we're on TPU in float32.  float64 keeps the scatter
-    (the CPU bit-parity surface, where XLA scatters are cheap anyway).
+    duplicate-index scatter when the MXU one-hot path didn't claim the
+    step, we're on TPU in float32, AND lanes dominate transcripts.
+    Measured on a v5e (profile_em_scatter): at 3.28M lanes / T=50k the
+    segsum runs 0.08 ms vs 24.4 ms scatter (sorted runs are long; the
+    gather is near-sequential); at 1.36M lanes / T=250k it loses 15.3
+    vs 11.9 ms (segments are mostly empty/tiny and the [T] result
+    gather dominates).  The crossover sits around lanes ~ 8T.  float64
+    keeps the scatter (the CPU bit-parity surface, where XLA scatters
+    are cheap anyway).
     """
     if use_mxu:
         return False
@@ -106,7 +118,11 @@ def resolve_em_segsum(mode: str, dtype, use_mxu: bool) -> bool:
         return True
     if mode == "off":
         return False
-    return jnp.dtype(dtype) == jnp.float32 and jax.default_backend() == "tpu"
+    if jnp.dtype(dtype) != jnp.float32 or jax.default_backend() != "tpu":
+        return False
+    if total_lanes and num_transcripts:
+        return total_lanes >= 8 * num_transcripts
+    return True
 
 
 def _mxu_onehots(flat_tid: jnp.ndarray, num_rows: int):

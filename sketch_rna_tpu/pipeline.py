@@ -988,7 +988,11 @@ def _run_em(
         static_base=static_base,
     )
     kw["use_segsum"] = resolve_em_segsum(
-        config.em_segsum, config.em_dtype, kw["use_mxu"]
+        config.em_segsum,
+        config.em_dtype,
+        kw["use_mxu"],
+        total_lanes=sum(t[0].size for t in tables),
+        num_transcripts=num_transcripts,
     )
     if kw["use_segsum"]:
         # ONE lane sort shared by every checkpoint segment (each
@@ -1154,7 +1158,13 @@ def _quantify_fused(
             sum(t[0].size for t in tables),
             config.em_dtype,
         )
-        use_segsum = resolve_em_segsum(config.em_segsum, config.em_dtype, use_mxu)
+        use_segsum = resolve_em_segsum(
+            config.em_segsum,
+            config.em_dtype,
+            use_mxu,
+            total_lanes=sum(t[0].size for t in tables),
+            num_transcripts=index.num_transcripts,
+        )
         if config.em_checkpoint:
             pi, iters = _run_em(
                 tables,
@@ -1447,7 +1457,13 @@ def _sharded_stream_core(
         em_epsilon=config.em_epsilon,
         em_dtype=config.em_dtype,
         use_mxu=sh_mxu,
-        use_segsum=resolve_em_segsum(config.em_segsum, config.em_dtype, sh_mxu),
+        use_segsum=resolve_em_segsum(
+            config.em_segsum,
+            config.em_dtype,
+            sh_mxu,
+            total_lanes=m_pad * W,
+            num_transcripts=index.num_transcripts,
+        ),
         nm_pad=nm_pad,
         nmid_pad=nmid_pad,
         nw_pad=nw_pad,

@@ -448,7 +448,13 @@ def quantify_streamed(
     use_mxu = resolve_em_mxu(
         config.em_mxu, T, sum(t[0].size for t in tables), config.em_dtype
     )
-    use_segsum = resolve_em_segsum(config.em_segsum, config.em_dtype, use_mxu)
+    use_segsum = resolve_em_segsum(
+        config.em_segsum,
+        config.em_dtype,
+        use_mxu,
+        total_lanes=sum(t[0].size for t in tables),
+        num_transcripts=T,
+    )
     with timer.phase("em_assign"):
         if config.em_checkpoint:
             pi, iters = _run_em(tables, R, T, config, static_base=static_base)
