@@ -136,7 +136,9 @@ def f_segsum_plan(post):
     return segsum_apply(seg_plan, post.reshape(-1))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--chained" not in sys.argv:
+    # LEGACY independent-call timings: on the tunneled backend these can
+    # under-report badly (see chained_report below); kept for CPU use.
     print(f"N={N} W={W} T={T} lanes={N*W}", flush=True)
     timeit("scatter (read layout)", f_scatter, post)
     timeit("gather-perm + sorted scatter", f_scatter_sorted, post)
@@ -158,3 +160,56 @@ if __name__ == "__main__":
         atol=1e-3,
     )
     print("segsum_plan == scatter (2e-3): OK", flush=True)
+
+
+# --- chained (trustworthy) variants ---------------------------------------
+# Independent repeated calls on the tunneled backend report fantasy times
+# (block_until_ready acks before the device finishes; see docs/DESIGN.md
+# "axon dispatch cliff" round-3 addendum).  These run the REAL EM
+# e-step shape — pi-gather + row-normalize + posterior-accumulate — as a
+# 20-iteration fori_loop with pi feedback inside ONE program, exactly
+# like run_em's while_loop, so the per-iteration cost is honest.
+
+def _chained(accumulate, iters=20):
+    @jax.jit
+    def run(pi):
+        def body(_, pi):
+            w = pi[tid] * post
+            denom = jnp.sum(w, axis=1, keepdims=True)
+            p = w / jnp.maximum(denom, 1e-10)
+            ps = accumulate(p)
+            return ps + jnp.float32(0.01)
+        return jax.lax.fori_loop(0, iters, body, pi)
+    return run
+
+
+def chained_report():
+    iters = 20
+    variants = {
+        "scatter": lambda p: jnp.zeros(T, jnp.float32).at[tid.reshape(-1)].add(
+            p.reshape(-1)
+        ),
+        "segsum plan": lambda p: segsum_apply(seg_plan, p.reshape(-1)),
+        "unsorted segment_sum": lambda p: jax.ops.segment_sum(
+            p.reshape(-1), tid.reshape(-1), num_segments=T
+        ),
+    }
+    results = {}
+    for name, acc in variants.items():
+        f = _chained(acc, iters)
+        jax.block_until_ready(f(pi0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(pi0)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        results[name] = best / iters
+        print(f"CHAINED e-step + {name:22s} {best/iters*1000:8.2f} ms/iter",
+              flush=True)
+    return results
+
+
+if __name__ == "__main__" and "--chained" in sys.argv:
+    print(f"N={N} W={W} T={T} lanes={N*W} (chained)", flush=True)
+    chained_report()

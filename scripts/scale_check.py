@@ -97,6 +97,8 @@ def main():
         f"stats={result.stats} timing={ {k: round(v,3) for k,v in result.timing.items()} }",
         flush=True,
     )
+    if result.sizes:
+        print(f"sizes={result.sizes}", flush=True)
     if args.streaming:
         pl.FUSED_MAX_PADDED_READS = pl_cap
 

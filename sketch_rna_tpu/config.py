@@ -71,9 +71,9 @@ class QuantConfig:
     # Scatter-free posterior accumulation (em/segsum.py): lanes sort by
     # transcript ONCE per quant, then every EM iteration reduces the
     # posterior sums with a segmented scan + one [T] gather instead of a
-    # duplicate-index scatter-add (which XLA serializes on TPU).  "auto"
-    # enables it on TPU for float32 whenever the MXU path didn't claim
-    # the step; float64 parity runs keep the scatter.
+    # duplicate-index scatter-add.  Round-3 CHAINED on-chip timing shows
+    # the scatter wins at every tested shape (em.resolve_em_segsum), so
+    # "auto" now means scatter; "on" forces the segsum path.
     em_segsum: str = "auto"
     # Collapse reads with identical candidate profiles into weighted
     # equivalence classes before EM (exact; EM cost then scales with

@@ -101,28 +101,23 @@ def resolve_em_segsum(
 ) -> bool:
     """Map the config's em_segsum mode to a decision (see em/segsum.py).
 
-    Auto policy: the sorted segmented-scan posterior sum replaces the
-    duplicate-index scatter when the MXU one-hot path didn't claim the
-    step, we're on TPU in float32, AND lanes dominate transcripts.
-    Measured on a v5e (profile_em_scatter): at 3.28M lanes / T=50k the
-    segsum runs 0.08 ms vs 24.4 ms scatter (sorted runs are long; the
-    gather is near-sequential); at 1.36M lanes / T=250k it loses 15.3
-    vs 11.9 ms (segments are mostly empty/tiny and the [T] result
-    gather dominates).  The crossover sits around lanes ~ 8T.  float64
-    keeps the scatter (the CPU bit-parity surface, where XLA scatters
-    are cheap anyway).
+    Auto policy: SCATTER.  Settled by round-3 CHAINED on-chip timing
+    (profile_em_scatter --chained: 20 data-dependent e-step iterations
+    inside one program, the only measurement the tunneled backend
+    reports honestly — independent repeated calls under-report by
+    orders of magnitude): the plain duplicate-index scatter beats the
+    sorted segmented scan at BOTH tested shapes — 46.8 vs 52.8 ms/iter
+    at 3.28M lanes / T=50k, 19.5 vs 22.7 ms/iter at 1.36M lanes /
+    T=250k (unsorted segment_sum ties scatter everywhere).  The
+    segsum's extra permutation gather always costs more than XLA's
+    scatter serialization saves; the round-2 "segsum win" was an
+    async-ack measurement artifact.  "on" keeps the path selectable;
+    total_lanes/num_transcripts remain accepted for future re-tuning.
     """
+    del total_lanes, num_transcripts  # shape thresholds retired (see above)
     if use_mxu:
         return False
-    if mode == "on":
-        return True
-    if mode == "off":
-        return False
-    if jnp.dtype(dtype) != jnp.float32 or jax.default_backend() != "tpu":
-        return False
-    if total_lanes and num_transcripts:
-        return total_lanes >= 8 * num_transcripts
-    return True
+    return mode == "on"
 
 
 def _mxu_onehots(flat_tid: jnp.ndarray, num_rows: int):

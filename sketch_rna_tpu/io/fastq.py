@@ -130,3 +130,21 @@ def load_fastq_dict(path: str, min_len: int = 0) -> Dict[str, str]:
             continue
         out[rid] = seq
     return out
+
+
+def load_fastq_with_quality(
+    path: str, min_len: int = 0
+) -> Dict[str, Tuple[str, str]]:
+    """id -> (sequence, quality), same duplicate/validation semantics.
+
+    Completes the reference's Read data model (id, sequence, quality —
+    include/data_io.h:38-43): the reference parses and RETAINS quality
+    strings though no downstream math reads them, so the hot paths here
+    drop them (PARITY.md deviation 1).  This loader keeps them for
+    callers that want full structural parity or QC tooling."""
+    out: Dict[str, Tuple[str, str]] = {}
+    for rid, seq, qual in iter_fastq_records(path):
+        if len(seq) < min_len or not is_valid_sequence(seq):
+            continue
+        out[rid] = (seq, qual)
+    return out

@@ -170,39 +170,63 @@ def row_events_to_candidates(
         meets = is_end & ok
         score = ck
     else:
+        # Multi-k grouping in a FIXED number of row passes (the previous
+        # form ran 3 passes PER k over the K-times-wider rows — O(K^2)
+        # lane work; at GENCODE scale the K=2 match scan measured 2.8x
+        # the single-k cost).  A tid's <= K runs are adjacent after the
+        # sort, so the forall-k rule becomes group-level run accounting:
+        #   - per-run threshold verdict at its END lane, with each k's
+        #     global max selected in (not cumsum'd): ok_run,
+        #   - group passes iff (every run in it passes) AND (it has a
+        #     run for every k whose global max is nonzero) — a k with
+        #     max 0 passes vacuously (0 >= f*0, reference semantics:
+        #     src/sparse_chaining.cpp:83-105), and no run for it can
+        #     exist anyway,
+        # computed with THREE shared cumsums (runs, passing runs, score)
+        # + cummax-propagated group bases.
         kid = keym - tid * K
-        maxk: List[jnp.ndarray] = []
-        csk: List[jnp.ndarray] = []
-        for ki in range(K):
-            ck = jnp.where(is_end & (kid == ki), cnt_end, 0)
-            maxk.append(jnp.max(ck, axis=1))  # [B]
-            csk.append(jnp.cumsum(ck, axis=1))  # [B, W] inclusive
+        maxk = [
+            jnp.max(jnp.where(is_end & (kid == ki), cnt_end, 0), axis=1)
+            for ki in range(K)
+        ]  # [B] per k
+        mk = jnp.broadcast_to(maxk[0][:, None], (B, W))
+        for ki in range(1, K):
+            mk = jnp.where(kid == ki, maxk[ki][:, None], mk)
+        if q > 0:
+            ok_run = is_end & (cnt_end * q >= mk * p)
+        else:
+            ok_run = is_end & (
+                cnt_end.astype(jnp.float32)
+                >= jnp.float32(chain_fraction) * mk.astype(jnp.float32)
+            )
+        # Number of ks a read must cover: those with nonzero global max.
+        k_required = sum((m > 0).astype(jnp.int32) for m in maxk)  # [B]
 
-        # tid-group boundaries (a tid's <=K runs are adjacent after the
-        # sort).
         tprev = _shift_right(tid, jnp.int32(-1))
         tnxt = _shift_left(tid, _I32_MAX)
         is_tstart = valid & (tid != tprev)
         is_tend = valid & (tid != tnxt)
 
-        meets = is_tend
-        score = jnp.zeros((B, W), jnp.int32)
-        for ki in range(K):
-            # Group base = csk just before the group's first lane.  csk is
-            # row-nondecreasing, so a cummax over (is_tstart ? shifted csk
-            # : 0) propagates the most recent group's base to every lane —
-            # no take_along_axis gather (gathers are ~10x a VPU scan).
-            pre = _shift_right(csk[ki], jnp.int32(0))
-            base = jax.lax.cummax(jnp.where(is_tstart, pre, 0), axis=1)
-            cnt_k = csk[ki] - base  # per-tid count for k, valid at tend lanes
-            if q > 0:
-                ok = cnt_k * q >= maxk[ki][:, None] * p
-            else:
-                ok = cnt_k.astype(jnp.float32) >= jnp.float32(chain_fraction) * maxk[
-                    ki
-                ][:, None].astype(jnp.float32)
-            meets = meets & ok
-            score = score + cnt_k
+        c_runs = jnp.cumsum(is_end.astype(jnp.int32), axis=1)
+        c_ok = jnp.cumsum(ok_run.astype(jnp.int32), axis=1)
+        c_cnt = jnp.cumsum(jnp.where(is_end, cnt_end, 0), axis=1)
+
+        def _group_base(c):
+            # Base = cumulative value just before the group's first lane;
+            # cumulative rows are nondecreasing, so a cummax over
+            # (is_tstart ? shifted c : 0) propagates each group's base to
+            # all its lanes with no gather.
+            pre = _shift_right(c, jnp.int32(0))
+            return jax.lax.cummax(jnp.where(is_tstart, pre, 0), axis=1)
+
+        n_runs = c_runs - _group_base(c_runs)
+        n_ok = c_ok - _group_base(c_ok)
+        score = c_cnt - _group_base(c_cnt)
+        meets = (
+            is_tend
+            & (n_ok == n_runs)
+            & (n_runs == k_required[:, None])
+        )
 
     # Top-C by (score desc, tid asc): one more row sort.
     big = jnp.int32(W + 2)

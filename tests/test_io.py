@@ -128,3 +128,23 @@ def test_fastq_byte_ranges_cover_exactly(tmp_path):
             a, b = byte_range_for_process(str(p), pi, nproc)
             got.extend(iter_fastq_records_range(str(p), a, b))
         assert got == recs, nproc
+
+
+def test_load_fastq_with_quality(tmp_path):
+    """Quality strings survive with the same validation/duplicate rules
+    as the sequence-only loader (reference Read model,
+    include/data_io.h:38-43)."""
+    from sketch_rna_tpu.io.fastq import load_fastq_dict, load_fastq_with_quality
+
+    fq = tmp_path / "q.fq"
+    fq.write_text(
+        "@r1\nACGTACGTACGT\n+\nIIIIIIIIIIII\n"
+        "@r2\nACGTNNGT\n+\nIIIIIIII\n"          # invalid: N
+        "@r1\nACGTACGTACGA\n+\nJJJJJJJJJJJJ\n"  # valid duplicate: wins
+        "@r3\nACG\n+\nIII\n"                    # too short for min_len
+    )
+    wq = load_fastq_with_quality(str(fq), min_len=4)
+    assert set(wq) == {"r1"}  # N-record and too-short record filtered
+    assert wq["r1"] == ("ACGTACGTACGA", "JJJJJJJJJJJJ")
+    # sequence view agrees with the sequence-only loader
+    assert {k: v[0] for k, v in wq.items()} == load_fastq_dict(str(fq), min_len=4)
