@@ -105,7 +105,14 @@ def row_expand_from_runs(
         run_begin = jnp.where(le, cum[:, s - 1 : s], run_begin)
         sel_start = jnp.where(le, start[:, s : s + 1], sel_start)
     valid = j < total
-    p_idx = jnp.clip(sel_start + (j - run_begin), 0, P - 1)
+    # Invalid (padding) lanes all fetch postings[0] — one hot element —
+    # instead of scattered clipped addresses: the window is sized for the
+    # ambiguous tail, so most lanes are padding and their gather traffic
+    # is otherwise real.  Output-identical (invalid keys are overwritten
+    # with the sentinel below).
+    p_idx = jnp.where(
+        valid, jnp.clip(sel_start + (j - run_begin), 0, P - 1), 0
+    )
     tid_ev = postings[p_idx]  # [B, Epr] — the one unavoidable gather
     key = jnp.where(valid, tid_ev * num_k + k_index, _I32_MAX)
     n_dropped = jnp.sum(jnp.maximum(total[:, 0] - Epr, 0))

@@ -413,10 +413,16 @@ def quantify_streamed(
     W = max(int(ncm_all.max()), 1)
     W = min(1 << (W - 1).bit_length(), C)
     if drained:
-        # Re-merge drained segments with the live buffer: duplicates
-        # ACROSS segments regroup inside _em_tables (class grouping
-        # composes with row weights), so the result is the same global
-        # equivalence classes an unbounded buffer would have produced.
+        # Re-merge drained segments with the live buffer INCREMENTALLY:
+        # concatenating every segment at full width first OOMs HBM at
+        # 32M-read scale (tens of millions of rows x C lanes before any
+        # dedup).  Each step merges the running result with ONE segment
+        # (host-narrowed to W columns), regroups (class grouping
+        # composes with row weights — exact), and compacts, so peak
+        # device memory is |merged| + |segment| rows at width W and the
+        # final result is the same global equivalence classes an
+        # unbounded buffer would have produced.  Rows pad to powers of
+        # two so the grouping-program shape family stays small.
         fill_h = int(np.asarray(fill))
         log.info(
             "stream drain: %d segments (%d classes) + %d live rows",
@@ -424,15 +430,32 @@ def quantify_streamed(
             sum(d[0].shape[0] for d in drained),
             fill_h,
         )
-        all_tid = jnp.concatenate(
-            [jnp.asarray(d[0]) for d in drained] + [buf_tid[:fill_h]]
-        )
-        all_score = jnp.concatenate(
-            [jnp.asarray(d[1]) for d in drained] + [buf_score[:fill_h]]
-        )
-        all_weight = jnp.concatenate(
-            [jnp.asarray(d[2]) for d in drained] + [buf_weight[:fill_h]]
-        )
+        m_t = jax.lax.slice_in_dim(buf_tid[:fill_h], 0, W, axis=1)
+        m_s = jax.lax.slice_in_dim(buf_score[:fill_h], 0, W, axis=1)
+        m_w = buf_weight[:fill_h]
+        n_live = fill_h
+        for d_t, d_s, d_w in drained:
+            d_t = np.asarray(d_t)[:, :W]
+            d_s = np.asarray(d_s)[:, :W]
+            n_tot = n_live + d_t.shape[0]
+            n_pad = 1 << max(n_tot - 1, 0).bit_length()
+            t = jnp.concatenate([m_t, jnp.asarray(d_t)])
+            s = jnp.concatenate([m_s, jnp.asarray(d_s)])
+            w = jnp.concatenate([m_w, jnp.asarray(np.asarray(d_w))])
+            if n_pad > n_tot:
+                # pad rows join the all-zero class with weight 0 (inert)
+                t = jnp.pad(t, ((0, n_pad - n_tot), (0, 0)))
+                s = jnp.pad(s, ((0, n_pad - n_tot), (0, 0)))
+                w = jnp.pad(w, (0, n_pad - n_tot))
+            rep, wgt, scal = group_candidate_rows_meta(t, s, row_weight=w)
+            n_cls = int(np.asarray(scal)[0])
+            sel = jax.lax.slice_in_dim(rep, 0, n_cls)
+            m_t = t[sel]
+            m_s = s[sel]
+            m_w = jax.lax.slice_in_dim(wgt, 0, n_cls)
+            n_live = n_cls
+        log.info("stream drain merged to %d global classes", n_live)
+        all_tid, all_score, all_weight = m_t, m_s, m_w
     else:
         all_tid, all_score, all_weight = buf_tid, buf_score, buf_weight
     with timer.phase("classes"):
