@@ -314,6 +314,14 @@ def run_quant(
             scan = native.NativeFastqScan(reads_path, max(idx.kmer_lengths))
             pad_len = max(config.max_read_len, ((scan.max_len + 127) // 128) * 128)
             if scan.num_reads > FUSED_MAX_PADDED_READS:
+                # Streamed chunks pad to the true max read length
+                # (8-rounded, like the fused path's lane slicing): the
+                # host->device link is the streaming path's scarcest
+                # resource, and padding 150 bp reads to 256 lanes was
+                # +70% upload for nothing.
+                pad_len = max(
+                    ((scan.max_len + 7) // 8) * 8, max(idx.kmer_lengths)
+                )
                 stream_scan = scan
                 stream = native.chunks_from_scan(
                     scan, config.stream_chunk_reads, pad_len

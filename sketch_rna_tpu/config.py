@@ -89,12 +89,13 @@ class QuantConfig:
     em_fold_singletons: bool = True
     # Streaming path: class-buffer row capacity (bounds DISTINCT candidate
     # profiles, i.e. transcriptome ambiguity — not read count) and reads
-    # per host->device super-chunk.  1M rows ~ 0.5 GB HBM at C=64;
-    # GENCODE-scale runs produce several hundred thousand distinct
-    # classes (overflow drops whole batches — counted, never silent).
-    # Buffers are additionally bounded by the dataset's own row count
-    # when it is known up front.
-    stream_class_capacity: int = 1 << 20
+    # per host->device super-chunk.  4M rows ~ 2 GB HBM at C=64 — sized
+    # so GENCODE-scale multi-10M-read runs hold their global classes
+    # on device (a drain round-trips ~0.5 GB through the host link per
+    # segment, which dominated the 32M-read run at 1M rows; measured
+    # round 3).  Buffers are additionally bounded by the dataset's own
+    # row count when it is known up front, so small runs stay small.
+    stream_class_capacity: int = 1 << 22
     stream_chunk_reads: int = 1 << 20
     # Exactness under class-buffer pressure (default on).  Single-device
     # streaming: when the buffer risks overflowing on the next

@@ -311,16 +311,21 @@ def quantify_streamed(
                 )
             nbc = (n + B - 1) // B
             if config.stream_drain and rows_bound + (nbc + 1) * B > m_cap:
-                # This chunk could overflow the buffer.  Compact on
-                # device first — low-ambiguity datasets collapse far
-                # below capacity and never pay a drain (one scalar sync
-                # per ~m_cap appended rows either way) — and drain the
-                # compacted classes to the host only if they still
-                # crowd out the incoming chunk.
-                buf_tid, buf_score, buf_weight, fill = _compact_classes(
-                    buf_tid, buf_score, buf_weight
-                )
+                # This chunk could overflow the buffer.  rows_bound is a
+                # LOOSE bound (raw appends since the last sync; the
+                # in-scan compaction may have shrunk the real fill), so
+                # sync the true fill first — a scalar transfer — and
+                # only pay a full-buffer compact when the chunk GENUINELY
+                # wouldn't fit (the unconditional compact here cost a
+                # [m_cap, C] sort per chunk at 32M-read scale, ~30% of
+                # the whole run).  Drains to the host happen only if the
+                # compacted classes still crowd out the incoming chunk.
                 fill_h = int(np.asarray(fill))
+                if fill_h + (nbc + 1) * B > m_cap:
+                    buf_tid, buf_score, buf_weight, fill = _compact_classes(
+                        buf_tid, buf_score, buf_weight
+                    )
+                    fill_h = int(np.asarray(fill))
                 if fill_h + (nbc + 1) * B > m_cap and fill_h > 0:
                     drained.append(
                         (

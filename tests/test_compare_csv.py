@@ -44,7 +44,7 @@ def test_rank_swap_fails(tmp_path):
     a = write(tmp_path / "a.csv", [("a", 10.0, 5.0), ("b", 3.0, 1.5)])
     b = write(tmp_path / "b.csv", [("a", 10.0, 1.5), ("b", 3.0, 5.0)])
     rc, out = run(a, b)
-    assert rc == 1 and "RANK MISMATCH" in out
+    assert rc == 1 and "SIGNIFICANT inversions" in out
 
 
 def test_missing_row_fails(tmp_path):
