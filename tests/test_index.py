@@ -67,6 +67,7 @@ def test_artifact_roundtrip(tmp_path, records):
         np.testing.assert_array_equal(idx2.per_k[k].postings, idx.per_k[k].postings)
 
 
+@pytest.mark.slow  # runs the full build twice
 def test_build_backends_identical(records, monkeypatch):
     """The CPU-backend build (default) and the accelerator-path kernels
     (_hash_pos_batch + device pair sort) must produce identical CSR

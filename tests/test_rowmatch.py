@@ -32,6 +32,7 @@ def build(seed, ks, n_reads=200):
     return cfg, idx, codes, lengths
 
 
+@pytest.mark.slow  # cross-check vs the legacy global-sort matcher
 @pytest.mark.parametrize("ks", [(31,), (21, 31)])
 def test_rowmatch_equals_global_sort_path(ks):
     cfg, idx, codes, lengths = build(5, ks)
