@@ -74,10 +74,13 @@ def group_candidate_rows_meta(
       rep_orig: [N] int32 — ORIGINAL row index of class c's
                 representative at position c (arbitrary past n_classes).
       weight:   [N] int32 multiplicities (0 past n_classes).
-      scalars:  [4] int32 (n_classes, n_wide, n_tail1, n_mid) where
-                n_tail1 counts classes with <= 1 candidates (foldable:
-                their per-iteration EM contribution is constant) and
-                n_mid the middle-tier classes (0 when mid_width unset).
+      scalars:  [5] int32 (n_classes, n_wide, n_tail1, n_mid, n_pair)
+                where n_tail1 counts classes with <= 1 candidates
+                (foldable: their per-iteration EM contribution is
+                constant), n_mid the middle-tier classes (0 when
+                mid_width unset), and n_pair the classes with EXACTLY 2
+                candidates (eligible for the width-2 tier — ~31% of
+                non-singleton classes on measured transcriptomes).
     """
     N, W = tbl_tid.shape
     h1 = jnp.full(N, 0x811C9DC5, jnp.uint32)
@@ -133,12 +136,13 @@ def group_candidate_rows_meta(
         )
     else:
         n_mid = jnp.int32(0)
+    n_pair = jnp.sum(((nc_rep == 2) & live).astype(jnp.int32))
     # jnp.sum/cumsum promote to the default int width under x64; pin the
     # scalars to int32 so carries stay dtype-stable.
     return (
         rep_orig,
         weight,
-        jnp.stack([n_classes, n_wide, n_tail1, n_mid]).astype(jnp.int32),
+        jnp.stack([n_classes, n_wide, n_tail1, n_mid, n_pair]).astype(jnp.int32),
     )
 
 
@@ -154,28 +158,45 @@ def plan_class_tables(
     narrow_width: int,
     mid_width: int = 0,
     fold_singletons: bool = True,
+    pair_width: int = 0,
 ):
     """Host-side static plan for build_class_tables from the one sync.
 
-    scalars_host: the 4 ints from group_candidate_rows_meta.
+    scalars_host: the first 4-5 ints from group_candidate_rows_meta
+    (the 5th, n_pair, may be absent for callers on the 4-scalar layout —
+    the pair tier then stays off).
     width: the (already narrowed) table width W.
     n_pad: the padded row count of the source tables (upper bound m_pad).
+    pair_width: 2 enables the width-2 tier for exactly-2-candidate
+    classes (~31% of non-singleton classes measured; halves their EM
+    lanes vs the narrow tier).
 
     Returns a dict of STATIC sizes/flags to splat into
     build_class_tables; pads are quantized (2048/512 multiples) so the
     compiled-program family stays small.
     """
-    n_classes, n_wide, n_tail1, n_mid = (int(x) for x in scalars_host)
+    vals = [int(x) for x in scalars_host]
+    n_classes, n_wide, n_tail1, n_mid = vals[:4]
+    n_pair = vals[4] if len(vals) > 4 else 0
     m_pad = min(max(_round_to(n_classes, 2048), 1024), n_pad)
     split = width > narrow_width and n_wide > 0 and m_pad >= 1024
     fold = bool(fold_singletons) and n_tail1 > 0 and m_pad >= 1024
     mid_active = (
         split and mid_width > narrow_width and width > mid_width and n_mid > 0
     )
+    pair_active = (
+        pair_width == 2 and narrow_width > 2 and n_pair > 0 and m_pad >= 1024
+    )
     nw2 = n_wide - (n_mid if mid_active else 0)
     wide_active = split and nw2 > 0
-    n_multi = n_classes - (n_wide if split else 0) - (n_tail1 if fold else 0)
+    n_multi = (
+        n_classes
+        - (n_wide if split else 0)
+        - (n_tail1 if fold else 0)
+        - (n_pair if pair_active else 0)
+    )
     nm_pad = min(max(_round_to(max(n_multi, 1), 2048), 1024), m_pad)
+    np_pad = min(_round_to(n_pair, 2048), m_pad) if pair_active else 0
     nmid_pad = min(_round_to(n_mid, 512), m_pad) if mid_active else 0
     nw_pad = min(_round_to(max(nw2, 1), 512), m_pad) if wide_active else 0
     # With no wide class anywhere, every profile fits narrow_width lanes
@@ -187,6 +208,7 @@ def plan_class_tables(
         nm_pad=nm_pad,
         nmid_pad=nmid_pad,
         nw_pad=nw_pad,
+        np_pad=np_pad,
         narrow_width=narrow_width,
         mid_width=mid_width if mid_active else 0,
         out_width=out_width,
@@ -202,6 +224,7 @@ def plan_class_tables(
         "nm_pad",
         "nmid_pad",
         "nw_pad",
+        "np_pad",
         "narrow_width",
         "mid_width",
         "out_width",
@@ -225,6 +248,7 @@ def build_class_tables(
     out_width: int,
     split: bool,
     fold: bool,
+    np_pad: int = 0,
     num_transcripts: int = 0,
 ):
     """Phase 2: materialize width-tiered class tables at static sizes.
@@ -260,6 +284,7 @@ def build_class_tables(
         nm_pad=nm_pad,
         nmid_pad=nmid_pad,
         nw_pad=nw_pad,
+        np_pad=np_pad,
         narrow_width=narrow_width,
         mid_width=mid_width,
         out_width=out_width,
@@ -282,6 +307,7 @@ def tier_partition(
     out_width: int,
     split: bool,
     fold: bool,
+    np_pad: int = 0,
     num_transcripts: int = 0,
 ):
     """Width-tier an ALREADY-materialized class table (the partition half
@@ -291,10 +317,13 @@ def tier_partition(
 
     Per-tier counts are recomputed locally from (score_c, w_c) — exact,
     and self-contained so shards with differing fills share one program.
+    np_pad > 0 adds a width-2 tier for exactly-2-candidate classes
+    (halves their EM lanes vs the narrow tier; round-3 measurement:
+    ~31% of non-singleton classes).
     Returns (tables, static_base, static_has) as build_class_tables.
     """
     m_pad = tid_c.shape[0]
-    if not split and not fold:
+    if not split and not fold and not np_pad:
         ow = out_width or tid_c.shape[1]
         return ((tid_c[:, :ow], score_c[:, :ow], w_c),), None, None
 
@@ -316,6 +345,7 @@ def tier_partition(
 
     mid_active = mid_width > narrow_width and nmid_pad > 0
     wide_active = nw_pad > 0
+    pair_active = np_pad > 0
     if split and mid_active:
         tier = jnp.where(
             n_cand > mid_width, 0, jnp.where(n_cand > narrow_width, 1, 2)
@@ -324,18 +354,22 @@ def tier_partition(
         tier = jnp.where(n_cand > narrow_width, 0, 2)
     else:
         tier = jnp.full(m_pad, 2, jnp.int32)
+    if pair_active:
+        tier = jnp.where(n_cand == 2, 3, tier)
     if fold:
-        tier = jnp.where(n_cand <= 1, 3, tier)
-    tier = jnp.where(live, tier, 4).astype(jnp.int32)
+        tier = jnp.where(n_cand <= 1, 4, tier)
+    tier = jnp.where(live, tier, 5).astype(jnp.int32)
     order = jnp.argsort(tier, stable=True).astype(jnp.int32)
-    ext = max(nm_pad, nmid_pad)
+    ext = max(nm_pad, nmid_pad, np_pad)
     order_ext = jnp.concatenate([order, jnp.zeros(ext, jnp.int32)])
 
     cnt_wide = jnp.sum((tier == 0).astype(jnp.int32))
     cnt_mid = jnp.sum((tier == 1).astype(jnp.int32))
     cnt_multi = jnp.sum((tier == 2).astype(jnp.int32))
+    cnt_pair = jnp.sum((tier == 3).astype(jnp.int32))
     start_mid = cnt_wide
     start_multi = cnt_wide + cnt_mid
+    start_pair = cnt_wide + cnt_mid + cnt_multi
 
     def _tier_table(idx, count, w_lanes, size):
         t = tid_c[idx][:, :w_lanes]
@@ -356,6 +390,9 @@ def tier_partition(
     narrow_w = narrow_width if split else out_width
     idx_n = jax.lax.dynamic_slice_in_dim(order_ext, start_multi, nm_pad)
     tables.append(_tier_table(idx_n, cnt_multi, narrow_w, nm_pad))
+    if pair_active:
+        idx_p = jax.lax.dynamic_slice_in_dim(order_ext, start_pair, np_pad)
+        tables.append(_tier_table(idx_p, cnt_pair, min(2, narrow_w), np_pad))
     return tuple(tables), static_base, static_has
 
 

@@ -691,6 +691,10 @@ _EM_NARROW_WIDTH = 4
 # GENCODE-scale multi-k config: 89% of >4-candidate classes fit 8 lanes,
 # cutting wide-table EM lanes ~4x).
 _EM_MID_WIDTH = 8
+# Width-2 tier: classes with exactly two candidates (the most common
+# multi-candidate profile — ~31% of non-singleton classes measured) get
+# a [*, 2] table, halving their EM lanes vs the narrow tier.
+_EM_PAIR_WIDTH = 2
 
 
 def _fold_ok(config: QuantConfig, num_transcripts: int) -> bool:
@@ -769,6 +773,7 @@ def _em_tables(
             narrow_width=_EM_NARROW_WIDTH,
             mid_width=_EM_MID_WIDTH,
             fold_singletons=_fold_ok(config, num_transcripts),
+            pair_width=_EM_PAIR_WIDTH,
         )
         tables, static_base, static_has = build_class_tables(
             tbl_tid,
@@ -1118,12 +1123,13 @@ def _quantify_fused(
     with timer.phase("classes"):
         if use_classes:
             plan = plan_class_tables(
-                sync[2:6],
+                sync[2:7],
                 width=W,
                 n_pad=tbl_tid.shape[0],
                 narrow_width=_EM_NARROW_WIDTH,
                 mid_width=_EM_MID_WIDTH,
                 fold_singletons=_fold_ok(config, index.num_transcripts),
+                pair_width=_EM_PAIR_WIDTH,
             )
             tables, static_base, static_has = build_class_tables(
                 tbl_tid,

@@ -140,3 +140,49 @@ def test_singleton_fold_and_mid_tier_exact():
             fold.weighted_counts, other.weighted_counts, rtol=1e-12, atol=1e-13
         )
         np.testing.assert_array_equal(fold.has_entry, other.has_entry)
+
+
+def test_pair_tier_exact(rng):
+    """The width-2 tier for exactly-2-candidate classes must be a pure
+    layout change: quantify with the pair tier on (default) vs disabled
+    matches to float64 round-off (same math, different lane grouping)."""
+    import dataclasses
+
+    import sketch_rna_tpu.pipeline as pl
+    from sketch_rna_tpu.config import QuantConfig
+    from sketch_rna_tpu.index.build import build_index
+    from sketch_rna_tpu.io.fasta import FastaRecords
+    from sketch_rna_tpu.io.packing import PackedReads
+    from sketch_rna_tpu.pipeline import quantify
+
+    from util import decode, make_transcriptome, sample_reads
+
+    seqs = make_transcriptome(rng, n=30, len_range=(100, 500))
+    recs = FastaRecords(
+        [f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0
+    )
+    cfg = QuantConfig(kmer_lengths=(31,), batch_size=512, max_read_len=128,
+                      em_dtype="float64", candidate_capacity=32)
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=600, read_len=90)
+             if r.size >= 31] * 2
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    on = quantify(idx, packed, cfg)
+    pw = pl._EM_PAIR_WIDTH
+    pl._EM_PAIR_WIDTH = 0
+    try:
+        off = quantify(idx, packed, cfg)
+    finally:
+        pl._EM_PAIR_WIDTH = pw
+    assert on.em_iterations == off.em_iterations
+    np.testing.assert_allclose(on.pi, off.pi, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        on.weighted_counts, off.weighted_counts, rtol=1e-12, atol=1e-13
+    )
+    np.testing.assert_array_equal(on.has_entry, off.has_entry)
