@@ -181,7 +181,7 @@ def stream_sharded_scan(
     candidate_capacity: int,
     num_transcripts: int,
     match_tiers: bool = True,
-    tier_widths: Tuple[int, int] = (16, 64),
+    tier_widths: Tuple[int, ...] = (8, 16, 64),
     m_cap: int = 1 << 17,
     narrow_width: int = 4,
     mid_width: int = 8,

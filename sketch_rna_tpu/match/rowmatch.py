@@ -269,7 +269,13 @@ def row_events_to_candidates(
     return MatchResult(tid=tbl_tid, score=tbl_score, mask=tbl_mask, stats=stats)
 
 
-TIER_FRACS16 = (12, 3, 1)  # sixteenths of the batch per tier
+# Sixteenths of the batch per tier (rows sorted ascending by event
+# count).  Round 3 refined the old (12, 3, 1) plan to five rank tiers:
+# the median read produces ~7 events while high-rank reads need
+# hundreds of lanes, so finer rank quantiles cut total padded lanes
+# 88.7M -> 58.4M at GENCODE scale (match scan 1.13 -> 0.90 s; a sixth
+# tier measured no further gain — the calibrated widths merge).
+TIER_FRACS16 = (6, 4, 3, 2, 1)
 
 
 def pow2ceil(n: int) -> int:
@@ -279,24 +285,27 @@ def pow2ceil(n: int) -> int:
 def tier_plan(
     B: int,
     events_per_read: int,
-    tier_widths: Tuple[int, int] = (16, 64),
+    tier_widths: Tuple[int, ...] = (8, 16, 64),
 ) -> Tuple[Tuple[int, int], ...]:
     """Static event-window tiers: ((rows, window), ...) covering B batch
     rows, assuming rows are sorted ascending by per-read event count.
 
     The median read produces ~6-12 posting events per k while the window
     must be sized for the ambiguous tail (hundreds on isoform families);
-    giving 3/4 of the batch a small window, 3/16 a medium one and the
-    top 1/16 the full events_per_read budget cuts the expanded lanes
-    ~4-6x.  tier_widths supplies the (small, medium) windows — use
-    calibrate_tier_widths so they cover the dataset's actual per-rank
-    event counts (then spills can only occur in the full-budget tail
-    tier, exactly like a flat window).  Adjacent tiers with equal
-    widths merge; the tail tier always gets the full budget.
+    rank-sized windows over TIER_FRACS16 cut the expanded lanes ~6-10x
+    vs a flat events_per_read window.  tier_widths supplies the
+    len(TIER_FRACS16)-1 non-tail windows — use calibrate_tier_widths so
+    they cover the dataset's actual per-rank event counts (then spills
+    can only occur in the full-budget tail tier, exactly like a flat
+    window).  Adjacent tiers with equal widths merge; the tail tier
+    always gets the full budget.
     """
     if B < 1024:
         return ((B, events_per_read),)
     widths = [min(w, events_per_read) for w in tier_widths]
+    widths = widths[: len(TIER_FRACS16) - 1]
+    while len(widths) < len(TIER_FRACS16) - 1:
+        widths.append(widths[-1] if widths else events_per_read)
     widths.append(events_per_read)
     rows = [(B * f) // 16 for f in TIER_FRACS16[:-1]]
     rows.append(B - sum(rows))
@@ -314,8 +323,8 @@ def calibrate_tier_widths(
     B: int,
     events_per_read: int,
     margin: float = 1.5,
-) -> Tuple[int, int]:
-    """Pick (small, medium) tier windows from a sample of per-read event
+) -> Tuple[int, ...]:
+    """Pick the non-tail tier windows from a sample of per-read event
     totals so each tier covers its rank range with headroom.
 
     sorted_totals: ascending per-read max-per-k event counts from a
@@ -327,14 +336,17 @@ def calibrate_tier_widths(
     """
     n = int(sorted_totals.shape[0])
     if n == 0:
-        return (16, 64)
-    b0 = (n * TIER_FRACS16[0]) // 16
-    b1 = (n * (TIER_FRACS16[0] + TIER_FRACS16[1])) // 16
-    q0 = int(sorted_totals[max(b0 - 1, 0)])
-    q1 = int(sorted_totals[max(b1 - 1, 0)])
-    w0 = min(max(pow2ceil(int(q0 * margin)), 16), events_per_read)
-    w1 = min(max(pow2ceil(int(q1 * margin)), w0), events_per_read)
-    return (w0, w1)
+        return (8, 16, 64)[: len(TIER_FRACS16) - 1]
+    widths: List[int] = []
+    cum = 0
+    floor = 8
+    for f in TIER_FRACS16[:-1]:
+        cum += f
+        q = int(sorted_totals[max((n * cum) // 16 - 1, 0)])
+        w = min(max(pow2ceil(int(q * margin)), floor), events_per_read)
+        widths.append(w)
+        floor = w
+    return tuple(widths)
 
 
 def row_match_runs_tiered(
@@ -347,7 +359,7 @@ def row_match_runs_tiered(
     chain_fraction: float,
     candidate_capacity: int,
     num_transcripts: int = 0,
-    tier_widths: Tuple[int, int] = (16, 64),
+    tier_widths: Tuple[int, ...] = (8, 16, 64),
 ) -> Tuple[MatchResult, jnp.ndarray]:
     """Tiered expand+group: sort batch rows by their max per-k event
     count, then give each tier a window sized to its rank (tier_plan).

@@ -183,7 +183,7 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
 
     Returns (tier_widths, probe_width).
     """
-    default = ((16, 64), None)
+    default = ((8, 16, 64), None)
     if not config.match_tiers or config.batch_size < 1024:
         return default
     n = min(config.batch_size, packed.num_reads)
@@ -255,7 +255,7 @@ def sketch_match_step(
     num_transcripts: int = 0,
     match_tiers: bool = True,
     restore_order: bool = False,
-    tier_widths: Tuple[int, int] = (16, 64),
+    tier_widths: Tuple[int, ...] = (8, 16, 64),
     probe_width: Optional[int] = None,
 ):
     """One device batch: per-k sketching + candidate matching.
@@ -424,7 +424,7 @@ def match_scan(
     bucket_meta: Tuple[Tuple[int, int], ...],
     num_transcripts: int = 0,
     match_tiers: bool = True,
-    tier_widths: Tuple[int, int] = (16, 64),
+    tier_widths: Tuple[int, ...] = (8, 16, 64),
     probe_width: Optional[int] = None,
 ):
     """Sketch + match over all batches in ONE device program (lax.scan)

@@ -87,7 +87,7 @@ def stream_match_scan(
     bucket_meta: Tuple[Tuple[int, int], ...],
     num_transcripts: int = 0,
     match_tiers: bool = True,
-    tier_widths: Tuple[int, int] = (16, 64),
+    tier_widths: Tuple[int, ...] = (8, 16, 64),
     probe_width: Optional[int] = None,
     m_cap: int = 1 << 17,
 ):
