@@ -7,14 +7,14 @@ buffer instead, mirroring the reference's single-pass streaming intent
 (process_fastq_single_pass, /root/reference/src/main.cpp:107-151) at
 TPU batch granularity:
 
-  - a lax.scan consumes read chunks; each chunk's candidate tables are
-    appended to the class buffer;
-  - when the buffer would overflow, it is COMPACTED in-place: identical
-    candidate profiles collapse into weighted equivalence classes
-    (em/classes.py group metadata + representative gather, all inside
-    the scan — no host syncs).  Compaction is exact: EM posteriors of
-    identical profiles are identical, so weighted classes reproduce the
-    per-read math bit-for-bit;
+  - a lax.scan matches each super-chunk's batches, then the SAME
+    program groups the chunk's rows into weighted equivalence classes
+    (chunk pre-dedup: identical candidate profiles collapse, exact
+    because EM posteriors of identical profiles are identical), so only
+    the chunk's DISTINCT profiles append to the class buffer;
+  - when a block wouldn't fit, the buffer is COMPACTED device-side
+    inside the append program (em/classes.py group metadata +
+    representative gather — no host syncs on the per-chunk path);
   - EM + assignment then run over the final compacted classes, so
     device memory is O(m_cap) and host memory is one chunk, regardless
     of read count.
@@ -65,18 +65,13 @@ log = logging.getLogger(__name__)
         "match_tiers",
         "tier_widths",
         "probe_width",
-        "m_cap",
     ),
 )
-def stream_match_scan(
+def chunk_match_classes(
     codes_all: jnp.ndarray,  # [nb, B, L] uint8
     lengths_all: jnp.ndarray,  # [nb, B] int32
     index_packed: Tuple[jnp.ndarray, ...],
     index_postings: Tuple[jnp.ndarray, ...],
-    buf_tid: jnp.ndarray,  # [m_cap, C] int32 class buffer
-    buf_score: jnp.ndarray,  # [m_cap, C] int32
-    buf_weight: jnp.ndarray,  # [m_cap] int32 (0 = dead row)
-    fill: jnp.ndarray,  # [] int32 rows in use
     *,
     kmer_lengths: Tuple[int, ...],
     sketch_fraction: float,
@@ -89,24 +84,30 @@ def stream_match_scan(
     match_tiers: bool = True,
     tier_widths: Tuple[int, ...] = (8, 16, 64),
     probe_width: Optional[int] = None,
-    m_cap: int = 1 << 17,
 ):
-    """Match one super-chunk of batches into the running class buffer.
+    """Match one super-chunk and PRE-DEDUP it into weighted classes.
 
-    Returns (buf_tid, buf_score, buf_weight, fill, n_cand_max, stats).
-    The buffer threads through repeated calls (one per super-chunk), so
-    only ~[nb, B, L] read data plus the fixed buffer live on device.
+    The round-3 32M-read run spent ~3 s/chunk in full-buffer compaction
+    and the host fill syncs that gated it.  Grouping each chunk's own
+    rows here (one [nb*B]-row sort, async, inside the same program as
+    the matching) collapses the appended rows to the chunk's DISTINCT
+    profiles, so the shared buffer fills several times slower and its
+    compactions move off the per-chunk path entirely (they now run
+    device-side inside _append_chunk, no host sync).  Grouping composes
+    with row weights, so chunk-level pre-dedup is exact (same argument
+    as the drain re-merge below).
+
+    Returns (blk_tid [nb*B, C], blk_score, blk_weight, n_cls, n_cand_max,
+    stats) where rows past n_cls are zeroed with weight 0 (inert: they
+    join the all-zero class, adding zero weight).
     """
     from sketch_rna_tpu.pipeline import sketch_match_step
 
     nb, B, L = codes_all.shape
     K = len(kmer_lengths)
 
-    def compact(bt, bs, bw):
-        return _compact_classes(bt, bs, bw)
-
     def body(carry, batch):
-        bt, bs, bw, fl, dropped, spilled, sk_ov, pretail, ncm, class_ov = carry
+        dropped, spilled, sk_ov, pretail, ncm = carry
         codes, lengths = batch
         tid, score, mask, stats = sketch_match_step(
             codes,
@@ -126,71 +127,88 @@ def stream_match_scan(
             probe_width=probe_width,
         )
         score = jnp.where(mask, score, 0)
-
-        bt, bs, bw, fl = jax.lax.cond(
-            fl + B > m_cap,
-            lambda a: compact(a[0], a[1], a[2]),
-            lambda a: a,
-            (bt, bs, bw, fl),
-        )
-
-        can_fit = fl + B <= m_cap
-        start = jnp.minimum(fl, m_cap - B)
-
-        def append(a):
-            bt, bs, bw, fl = a
-            bt = jax.lax.dynamic_update_slice(bt, tid, (start, jnp.int32(0)))
-            bs = jax.lax.dynamic_update_slice(bs, score, (start, jnp.int32(0)))
-            bw = jax.lax.dynamic_update_slice(
-                bw, jnp.ones(B, jnp.int32), (start,)
-            )
-            return bt, bs, bw, fl + B
-
-        bt, bs, bw, fl = jax.lax.cond(can_fit, append, lambda a: a, (bt, bs, bw, fl))
-
         n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
         carry = (
-            bt,
-            bs,
-            bw,
-            fl,
             dropped + stats["expand_dropped"].astype(jnp.int32),
             spilled + stats["candidate_spilled"].astype(jnp.int32),
             sk_ov + stats["sketch_overflow"].astype(jnp.int32),
             pretail + stats["expand_dropped_pretail"].astype(jnp.int32),
             jnp.maximum(ncm, n_cand).astype(jnp.int32),
-            class_ov
-            + jnp.where(
-                can_fit,
-                jnp.int32(0),
-                jnp.sum((lengths > 0), dtype=jnp.int32),
-            ),
         )
-        return carry, None
+        return carry, (tid, score)
 
     zero = (
-        buf_tid,
-        buf_score,
-        buf_weight,
-        fill,
         jnp.zeros(K, jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros(K, jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.int32),
     )
-    (bt, bs, bw, fl, dropped, spilled, sk_ov, pretail, ncm, class_ov), _ = (
-        jax.lax.scan(body, zero, (codes_all, lengths_all))
+    (dropped, spilled, sk_ov, pretail, ncm), (tids, scores) = jax.lax.scan(
+        body, zero, (codes_all, lengths_all)
     )
+    C = tids.shape[-1]
+    blk_tid = tids.reshape(nb * B, C)
+    blk_score = scores.reshape(nb * B, C)
+    rep, w, scal = group_candidate_rows_meta(blk_tid, blk_score)
+    n_cls = scal[0]
+    live = jnp.arange(nb * B, dtype=jnp.int32) < n_cls
+    blk_tid = jnp.where(live[:, None], blk_tid[rep], 0)
+    blk_score = jnp.where(live[:, None], blk_score[rep], 0)
+    blk_weight = jnp.where(live, w, 0)
     stats = {
         "expand_dropped": dropped,
         "candidate_spilled": spilled,
         "sketch_overflow": sk_ov,
         "expand_dropped_pretail": pretail,
-        "class_overflow": class_ov,
     }
-    return bt, bs, bw, fl, ncm, stats
+    return blk_tid, blk_score, blk_weight, n_cls, ncm, stats
+
+
+@partial(jax.jit, static_argnames=("m_cap",), donate_argnums=(0, 1, 2))
+def _append_chunk(
+    buf_tid: jnp.ndarray,  # [m_cap, C] int32 (donated)
+    buf_score: jnp.ndarray,  # [m_cap, C] int32 (donated)
+    buf_weight: jnp.ndarray,  # [m_cap] int32 (donated)
+    fill: jnp.ndarray,  # [] int32
+    blk_tid: jnp.ndarray,  # [cap_c, C] pre-deduped chunk classes
+    blk_score: jnp.ndarray,
+    blk_weight: jnp.ndarray,
+    n_cls: jnp.ndarray,  # [] int32 live rows in the block
+    n_reads: jnp.ndarray,  # [] int32 real reads in the chunk
+    *,
+    m_cap: int,
+):
+    """Append a pre-deduped chunk block into the running class buffer.
+
+    Compacts the buffer device-side first if the block wouldn't fit —
+    no host sync on this path.  A block that still doesn't fit after
+    compaction is dropped and its reads counted (class_overflow,
+    never silent); with stream_drain on, the caller's drain logic
+    prevents that case.  Returns (buf..., fill, class_ov).
+    """
+    cap_c = blk_tid.shape[0]
+
+    bt, bs, bw, fl = jax.lax.cond(
+        fill + cap_c > m_cap,
+        lambda a: _compact_classes(a[0], a[1], a[2]),
+        lambda a: a,
+        (buf_tid, buf_score, buf_weight, fill),
+    )
+
+    can_fit = fl + cap_c <= m_cap
+    start = jnp.minimum(fl, m_cap - cap_c)
+
+    def append(a):
+        bt, bs, bw, fl = a
+        bt = jax.lax.dynamic_update_slice(bt, blk_tid, (start, jnp.int32(0)))
+        bs = jax.lax.dynamic_update_slice(bs, blk_score, (start, jnp.int32(0)))
+        bw = jax.lax.dynamic_update_slice(bw, blk_weight, (start,))
+        return bt, bs, bw, fl + n_cls
+
+    bt, bs, bw, fl = jax.lax.cond(can_fit, append, lambda a: a, (bt, bs, bw, fl))
+    class_ov = jnp.where(can_fit, jnp.int32(0), n_reads)
+    return bt, bs, bw, fl, class_ov
 
 
 @jax.jit
@@ -294,7 +312,9 @@ def quantify_streamed(
     # always fit the buffer next to one in-flight batch: after a drain
     # the in-scan append can then never drop, making the streaming path
     # exact for ANY capacity >= 2*B.
-    eff_chunk = config.stream_chunk_reads
+    # A chunk's pre-deduped block has nbc*B rows and must fit the buffer
+    # whole (append is all-or-nothing), so cap the super-chunk by m_cap.
+    eff_chunk = min(config.stream_chunk_reads, (m_cap // B) * B)
     if config.stream_drain:
         eff_chunk = min(eff_chunk, max(((m_cap - B) // B) * B, B))
     with timer.phase("stream_match"):
@@ -310,23 +330,25 @@ def quantify_streamed(
                     index, chunk, config, bpacked, bucket_meta, caps, ks, L
                 )
             nbc = (n + B - 1) // B
-            if config.stream_drain and rows_bound + (nbc + 1) * B > m_cap:
+            cap_c = nbc * B
+            if config.stream_drain and rows_bound + cap_c > m_cap:
                 # This chunk could overflow the buffer.  rows_bound is a
-                # LOOSE bound (raw appends since the last sync; the
-                # in-scan compaction may have shrunk the real fill), so
-                # sync the true fill first — a scalar transfer — and
-                # only pay a full-buffer compact when the chunk GENUINELY
-                # wouldn't fit (the unconditional compact here cost a
-                # [m_cap, C] sort per chunk at 32M-read scale, ~30% of
-                # the whole run).  Drains to the host happen only if the
-                # compacted classes still crowd out the incoming chunk.
+                # LOOSE bound (pre-deduped block capacities since the
+                # last sync; device-side compaction inside _append_chunk
+                # may have shrunk the real fill), so sync the true fill
+                # — a scalar transfer — and only drain to the host when
+                # even a compacted buffer can't host the incoming block.
+                # With chunk pre-dedup the bound grows at the DISTINCT-
+                # profile rate, so this sync moves off the per-chunk
+                # path (round-3 32M run: a sync + full compact nearly
+                # every chunk cost ~3 s/chunk).
                 fill_h = int(np.asarray(fill))
-                if fill_h + (nbc + 1) * B > m_cap:
+                if fill_h + cap_c > m_cap:
                     buf_tid, buf_score, buf_weight, fill = _compact_classes(
                         buf_tid, buf_score, buf_weight
                     )
                     fill_h = int(np.asarray(fill))
-                if fill_h + (nbc + 1) * B > m_cap and fill_h > 0:
+                if fill_h + cap_c > m_cap and fill_h > 0:
                     drained.append(
                         (
                             np.asarray(buf_tid[:fill_h]),
@@ -343,21 +365,17 @@ def quantify_streamed(
                     rows_bound = fill_h
             codes = jnp.asarray(chunk.codes)
             lengths = jnp.asarray(chunk.lengths, jnp.int32)
-            pad = nbc * B - n
+            pad = cap_c - n
             if pad:
                 codes = jnp.pad(codes, ((0, pad), (0, 0)))
                 lengths = jnp.pad(lengths, (0, pad))
             codes_all = codes.reshape(nbc, B, L)
             lengths_all = lengths.reshape(nbc, B)
-            buf_tid, buf_score, buf_weight, fill, ncm, st = stream_match_scan(
+            blk_tid, blk_score, blk_weight, n_cls, ncm, st = chunk_match_classes(
                 codes_all,
                 lengths_all,
                 bpacked,
                 postings,
-                buf_tid,
-                buf_score,
-                buf_weight,
-                fill,
                 kmer_lengths=ks,
                 sketch_fraction=config.sketch_fraction,
                 sketch_caps=caps,
@@ -369,11 +387,24 @@ def quantify_streamed(
                 match_tiers=config.match_tiers,
                 tier_widths=widths,
                 probe_width=probe_w if config.match_tiers else None,
+            )
+            buf_tid, buf_score, buf_weight, fill, class_ov = _append_chunk(
+                buf_tid,
+                buf_score,
+                buf_weight,
+                fill,
+                blk_tid,
+                blk_score,
+                blk_weight,
+                n_cls,
+                jnp.asarray(n, jnp.int32),
                 m_cap=m_cap,
             )
+            st = dict(st)
+            st["class_overflow"] = class_ov
             ncm_parts.append(ncm)
             stats_parts.append(st)
-            rows_bound = min(rows_bound + nbc * B, m_cap)
+            rows_bound = min(rows_bound + cap_c, m_cap)
 
     if R == 0:
         return _empty_result(index)
