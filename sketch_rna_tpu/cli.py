@@ -101,13 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "(default 1M); chunks are parsed/packed on the host while "
                    "the device matches the previous chunk")
     p.add_argument("--stream-class-capacity", type=int, default=None,
-                   help="streaming class-buffer rows (default 1M; bounds "
+                   help="streaming class-buffer rows (default 4M; bounds "
                    "DISTINCT candidate profiles held on device — overflow "
-                   "drops batches and is counted, never silent)")
+                   "drops classes and is counted, never silent)")
     p.add_argument("--no-stream-drain", action="store_true",
                    help="disable the class-buffer exactness recovery (host "
                    "drain + re-merge when streaming; one bigger-buffer rerun "
-                   "when sharded): overflow then drops batches, counted in "
+                   "when sharded): overflow then drops classes, counted in "
                    "stats, never silent")
     return p
 

@@ -27,8 +27,8 @@ buffer anyway, the host DRAINS the compacted classes between
 super-chunks (config.stream_drain, default on) and the drained
 segments re-merge into global weighted classes before the EM — exact
 at any distinct-class count.  Only a single super-chunk whose own
-distinct classes exceed the buffer can still drop batches, counted in
-stats["class_overflow"] — never silent.  (The sharded multi-device
+distinct classes exceed the buffer can still drop, per-class, counted
+in stats["class_overflow"] — never silent.  (The sharded multi-device
 engine, dist/quant_stream.py, keeps per-device buffers inside one
 shard_map program and does not drain.)
 """
@@ -175,17 +175,20 @@ def _append_chunk(
     blk_score: jnp.ndarray,
     blk_weight: jnp.ndarray,
     n_cls: jnp.ndarray,  # [] int32 live rows in the block
-    n_reads: jnp.ndarray,  # [] int32 real reads in the chunk
     *,
     m_cap: int,
 ):
     """Append a pre-deduped chunk block into the running class buffer.
 
     Compacts the buffer device-side first if the block wouldn't fit —
-    no host sync on this path.  A block that still doesn't fit after
-    compaction is dropped and its reads counted (class_overflow,
-    never silent); with stream_drain on, the caller's drain logic
-    prevents that case.  Returns (buf..., fill, class_ov).
+    no host sync on this path.  When even the compacted buffer cannot
+    hold the block's padded rows wholly, the block's LIVE classes append
+    individually via a masked row scatter: only the classes past the
+    buffer's end are dropped, their read weight counted (class_overflow,
+    never silent).  With stream_drain on (default), the caller's drain
+    logic keeps this branch unreachable; with it off, drops are
+    per-class, finer than the raw per-batch granularity the pre-dedup
+    replaced.  Returns (buf..., fill, class_ov).
     """
     cap_c = blk_tid.shape[0]
 
@@ -204,10 +207,27 @@ def _append_chunk(
         bt = jax.lax.dynamic_update_slice(bt, blk_tid, (start, jnp.int32(0)))
         bs = jax.lax.dynamic_update_slice(bs, blk_score, (start, jnp.int32(0)))
         bw = jax.lax.dynamic_update_slice(bw, blk_weight, (start,))
-        return bt, bs, bw, fl + n_cls
+        return bt, bs, bw, fl + n_cls, jnp.int32(0)
 
-    bt, bs, bw, fl = jax.lax.cond(can_fit, append, lambda a: a, (bt, bs, bw, fl))
-    class_ov = jnp.where(can_fit, jnp.int32(0), n_reads)
+    def append_partial(a):
+        # Live rows sit at block rows [0, n_cls); scatter those that fit
+        # to buffer rows [fl, m_cap) and drop the rest (weight counted).
+        bt, bs, bw, fl = a
+        lane = jnp.arange(cap_c, dtype=jnp.int32)
+        idx = fl + lane
+        ok = (lane < n_cls) & (idx < m_cap)
+        idxc = jnp.where(ok, idx, m_cap)  # out-of-range -> dropped
+        bt = bt.at[idxc].set(blk_tid, mode="drop")
+        bs = bs.at[idxc].set(blk_score, mode="drop")
+        bw = bw.at[idxc].set(blk_weight, mode="drop")
+        dropped_w = jnp.sum(
+            jnp.where((lane < n_cls) & (idx >= m_cap), blk_weight, 0)
+        ).astype(jnp.int32)
+        return bt, bs, bw, jnp.minimum(fl + n_cls, m_cap).astype(jnp.int32), dropped_w
+
+    bt, bs, bw, fl, class_ov = jax.lax.cond(
+        can_fit, append, append_partial, (bt, bs, bw, fl)
+    )
     return bt, bs, bw, fl, class_ov
 
 
@@ -307,7 +327,18 @@ def quantify_streamed(
     widths = None
     probe_w = None
     drained = []  # host-side (tid, score, weight) compacted segments
-    rows_bound = 0  # host upper bound on fill (appends since last sync)
+    # Host upper bound on the buffer fill, in two parts: fill_base counts
+    # chunks whose true class count has been synced; pending holds the
+    # (n_cls device scalar, padded block rows) of appended chunks not yet
+    # counted.  A pending chunk contributes its padded block capacity to
+    # the bound until its n_cls is read — and reading it is nearly free,
+    # because by the time the bound trips the chunk's match has long
+    # finished (the host runs about one chunk ahead of the device).  The
+    # bound therefore grows at the DISTINCT-profile rate, not the raw-row
+    # rate, and the exact-fill sync below (which stalls the dispatch
+    # queue) only runs when distinct classes genuinely crowd the buffer.
+    fill_base = 0
+    pending = []  # [(n_cls device scalar, cap_c)] appended, not yet counted
     # With draining, cap the super-chunk so a single chunk's raw rows
     # always fit the buffer next to one in-flight batch: after a drain
     # the in-scan append can then never drop, making the streaming path
@@ -331,38 +362,43 @@ def quantify_streamed(
                 )
             nbc = (n + B - 1) // B
             cap_c = nbc * B
-            if config.stream_drain and rows_bound + cap_c > m_cap:
-                # This chunk could overflow the buffer.  rows_bound is a
-                # LOOSE bound (pre-deduped block capacities since the
-                # last sync; device-side compaction inside _append_chunk
-                # may have shrunk the real fill), so sync the true fill
-                # — a scalar transfer — and only drain to the host when
-                # even a compacted buffer can't host the incoming block.
-                # With chunk pre-dedup the bound grows at the DISTINCT-
-                # profile rate, so this sync moves off the per-chunk
-                # path (round-3 32M run: a sync + full compact nearly
-                # every chunk cost ~3 s/chunk).
-                fill_h = int(np.asarray(fill))
-                if fill_h + cap_c > m_cap:
-                    buf_tid, buf_score, buf_weight, fill = _compact_classes(
-                        buf_tid, buf_score, buf_weight
-                    )
+            if (
+                config.stream_drain
+                and fill_base + sum(cc for _, cc in pending) + cap_c > m_cap
+            ):
+                # The loose bound trips: settle the pending chunks' true
+                # class counts first (old device scalars — no queue
+                # stall), and only when DISTINCT classes genuinely crowd
+                # the buffer pay the exact-fill sync (round-3 32M run: a
+                # fill sync + full compact nearly every chunk cost
+                # ~3 s/chunk at the raw-row accrual rate).
+                fill_base += sum(int(np.asarray(nc)) for nc, _ in pending)
+                pending.clear()
+                if fill_base + cap_c > m_cap:
+                    # fill_base over-counts whatever the in-append
+                    # device-side compaction already reclaimed; sync the
+                    # exact fill before deciding to compact or drain.
                     fill_h = int(np.asarray(fill))
-                if fill_h + cap_c > m_cap and fill_h > 0:
-                    drained.append(
-                        (
-                            np.asarray(buf_tid[:fill_h]),
-                            np.asarray(buf_score[:fill_h]),
-                            np.asarray(buf_weight[:fill_h]),
+                    if fill_h + cap_c > m_cap:
+                        buf_tid, buf_score, buf_weight, fill = _compact_classes(
+                            buf_tid, buf_score, buf_weight
                         )
-                    )
-                    buf_tid = jnp.zeros((m_cap, C), jnp.int32)
-                    buf_score = jnp.zeros((m_cap, C), jnp.int32)
-                    buf_weight = jnp.zeros(m_cap, jnp.int32)
-                    fill = jnp.zeros((), jnp.int32)
-                    rows_bound = 0
-                else:
-                    rows_bound = fill_h
+                        fill_h = int(np.asarray(fill))
+                    if fill_h + cap_c > m_cap and fill_h > 0:
+                        drained.append(
+                            (
+                                np.asarray(buf_tid[:fill_h]),
+                                np.asarray(buf_score[:fill_h]),
+                                np.asarray(buf_weight[:fill_h]),
+                            )
+                        )
+                        buf_tid = jnp.zeros((m_cap, C), jnp.int32)
+                        buf_score = jnp.zeros((m_cap, C), jnp.int32)
+                        buf_weight = jnp.zeros(m_cap, jnp.int32)
+                        fill = jnp.zeros((), jnp.int32)
+                        fill_base = 0
+                    else:
+                        fill_base = fill_h
             codes = jnp.asarray(chunk.codes)
             lengths = jnp.asarray(chunk.lengths, jnp.int32)
             pad = cap_c - n
@@ -397,14 +433,13 @@ def quantify_streamed(
                 blk_score,
                 blk_weight,
                 n_cls,
-                jnp.asarray(n, jnp.int32),
                 m_cap=m_cap,
             )
             st = dict(st)
             st["class_overflow"] = class_ov
             ncm_parts.append(ncm)
             stats_parts.append(st)
-            rows_bound = min(rows_bound + cap_c, m_cap)
+            pending.append((n_cls, cap_c))
 
     if R == 0:
         return _empty_result(index)
