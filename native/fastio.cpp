@@ -224,6 +224,47 @@ int pack_threaded(const Record* records, int64_t n, int64_t pad_len,
   return 0;
 }
 
+// 2-bit variant: 4 base codes per byte, little-endian within the byte
+// (base j -> byte j>>2, bits (j&3)*2).  Row stride = pad_len/4 bytes
+// (pad_len must be a multiple of 4).  Quarters the host->device traffic
+// of the streaming feed — the scarcest resource on tunneled backends —
+// with the device unpacking via two vector ops (io/packing.unpack_codes2).
+int pack_threaded2(const Record* records, int64_t n, int64_t pad_len,
+                   uint8_t* codes2, int32_t* lengths, int n_threads) {
+  if (pad_len % 4 != 0) return -2;
+  const int64_t stride = pad_len / 4;
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const Record& r = records[i];
+      uint8_t* out = codes2 + i * stride;
+      const char* s = r.seq;
+      int64_t len = r.seq_len < pad_len ? r.seq_len : pad_len;
+      memset(out, 0, static_cast<size_t>(stride));
+      for (int64_t j = 0; j < len; ++j) {
+        out[j >> 2] = static_cast<uint8_t>(
+            out[j >> 2] |
+            (kLut.v[static_cast<uint8_t>(s[j])] << ((j & 3) * 2)));
+      }
+      lengths[i] = static_cast<int32_t>(len);
+    }
+  };
+  if (n_threads == 1 || n < 4096) {
+    worker(0, n);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t lo = t * chunk;
+      int64_t hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      pool.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}
+
 // Align to the first record header at or after `pos`: a line starting
 // '@' whose line-after-next starts '+' — the same probe the Python
 // byte-range parser uses (io/fastq.py _align_to_record) to disambiguate
@@ -464,6 +505,19 @@ int fastq_pack_range(void* handle, int64_t start, int64_t count,
     return -1;
   return pack_threaded(h->records.data() + start, count, pad_len, codes,
                        lengths, n_threads);
+}
+
+// 2-bit-packed range packing (see pack_threaded2): codes2 has row
+// stride pad_len/4 bytes; pad_len must be a multiple of 4.
+int fastq_pack_range2(void* handle, int64_t start, int64_t count,
+                      int64_t pad_len, uint8_t* codes2, int32_t* lengths,
+                      int n_threads) {
+  auto* h = static_cast<FastqHandle*>(handle);
+  if (!h || start < 0 || count < 0 ||
+      start + count > static_cast<int64_t>(h->records.size()))
+    return -1;
+  return pack_threaded2(h->records.data() + start, count, pad_len, codes2,
+                        lengths, n_threads);
 }
 
 // Total bytes needed for the concatenated id buffer.

@@ -315,16 +315,19 @@ def run_quant(
             pad_len = max(config.max_read_len, ((scan.max_len + 127) // 128) * 128)
             if scan.num_reads > FUSED_MAX_PADDED_READS:
                 # Streamed chunks pad to the true max read length
-                # (8-rounded, like the fused path's lane slicing): the
+                # (8-rounded, like the fused path's lane slicing) and
+                # ship 2-BIT-PACKED (io/packing.Packed2Reads): the
                 # host->device link is the streaming path's scarcest
-                # resource, and padding 150 bp reads to 256 lanes was
-                # +70% upload for nothing.
+                # resource — 4 bases/byte quarters it, and the whole
+                # feed then uploads pre-cliff (stream.quantify_streamed
+                # Phase A) at full link speed.
                 pad_len = max(
                     ((scan.max_len + 7) // 8) * 8, max(idx.kmer_lengths)
                 )
                 stream_scan = scan
-                stream = native.chunks_from_scan(
-                    scan, config.stream_chunk_reads, pad_len
+                stream = native.chunks_from_scan2(
+                    scan, config.stream_chunk_reads, pad_len,
+                    row_multiple=config.batch_size,
                 )
             else:
                 packed = scan.pack_range(0, scan.num_reads, pad_len)
@@ -360,8 +363,9 @@ def run_quant(
                 result.stats["expand_dropped_pretail"],
             )
             scan2 = native.NativeFastqScan(reads_path, max(idx.kmer_lengths))
-            stream2 = native.chunks_from_scan(
-                scan2, config.stream_chunk_reads, pad_len
+            stream2 = native.chunks_from_scan2(
+                scan2, config.stream_chunk_reads, pad_len,
+                row_multiple=config.batch_size,
             )
             try:
                 result = quantify_streamed(

@@ -100,6 +100,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
         ]
+        lib.fastq_pack_range2.restype = ctypes.c_int
+        lib.fastq_pack_range2.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
         lib.fastq_ids_size.restype = ctypes.c_int64
         lib.fastq_ids_size.argtypes = [ctypes.c_void_p]
         lib.fastq_get_ids.restype = ctypes.c_int
@@ -246,6 +256,42 @@ class NativeFastqScan:
                 raise RuntimeError("fastq_pack_range failed")
         return PackedReads(codes, lengths, [])
 
+    def pack_range2(
+        self,
+        start: int,
+        count: int,
+        pad_len: int,
+        n_threads: Optional[int] = None,
+        out_rows: Optional[int] = None,
+    ) -> "Packed2Reads":
+        """2-bit-packed range packing (4 bases/byte): quarters the
+        host->device bytes vs pack_range.  pad_len must be a multiple
+        of 4.  out_rows >= count zero-pads extra rows host-side so the
+        device never needs a pad dispatch."""
+        from sketch_rna_tpu.io.packing import Packed2Reads
+
+        if pad_len % 4:
+            raise ValueError("pad_len must be a multiple of 4")
+        rows = out_rows if out_rows is not None else count
+        if rows < count:
+            raise ValueError("out_rows < count")
+        codes2 = np.zeros((rows, pad_len // 4), dtype=np.uint8)
+        lengths = np.zeros(rows, dtype=np.int32)
+        if count:
+            nt = n_threads or min(os.cpu_count() or 1, 16)
+            rc = self._lib.fastq_pack_range2(
+                self._h,
+                start,
+                count,
+                pad_len,
+                codes2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                nt,
+            )
+            if rc != 0:
+                raise RuntimeError("fastq_pack_range2 failed")
+        return Packed2Reads(codes2, lengths, pad_len, n_real=count)
+
     def close(self) -> None:
         if self._h:
             self._lib.fastq_close(self._h)
@@ -285,6 +331,49 @@ def chunks_from_scan(
 
             def pack(s):
                 return scan.pack_range(s, min(chunk_reads, n - s), L, n_threads)
+
+            fut = ex.submit(pack, starts[0])
+            for s in starts[1:]:
+                cur = fut.result()
+                fut = ex.submit(pack, s)
+                yield cur
+            yield fut.result()
+    finally:
+        if close:
+            scan.close()
+
+
+def chunks_from_scan2(
+    scan: NativeFastqScan,
+    chunk_reads: int,
+    pad_len: Optional[int] = None,
+    n_threads: Optional[int] = None,
+    close: bool = True,
+    row_multiple: int = 1,
+):
+    """2-bit-packed double-buffered chunk feed (see chunks_from_scan).
+
+    Yields Packed2Reads — a quarter of the host->device bytes per chunk.
+    row_multiple pads each chunk's rows host-side to that multiple (the
+    device batch size), so the consumer never pays a pad dispatch.
+    pad_len is rounded up to a multiple of 4 (2-bit byte packing).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        n = scan.num_reads
+        if n == 0:
+            return
+        L = pad_len if pad_len is not None else max(scan.max_len, 1)
+        L = ((L + 3) // 4) * 4
+        starts = list(range(0, n, chunk_reads))
+        m = max(row_multiple, 1)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+
+            def pack(s):
+                c = min(chunk_reads, n - s)
+                rows = ((c + m - 1) // m) * m
+                return scan.pack_range2(s, c, L, n_threads, out_rows=rows)
 
             fut = ex.submit(pack, starts[0])
             for s in starts[1:]:

@@ -64,6 +64,19 @@ class PackedReads:
     def padded_len(self) -> int:
         return self.codes.shape[1]
 
+    def bit_packed(self) -> "Packed2Reads":
+        """2-bit repack (4 bases/byte) for transfer-efficient feeds."""
+        n, L = self.codes.shape
+        L4 = (L + 3) // 4
+        c = self.codes
+        if L4 * 4 != L:
+            c = np.concatenate([c, np.zeros((n, L4 * 4 - L), np.uint8)], axis=1)
+        q = c.reshape(n, L4, 4).astype(np.uint8)
+        codes2 = (
+            q[:, :, 0] | (q[:, :, 1] << 2) | (q[:, :, 2] << 4) | (q[:, :, 3] << 6)
+        )
+        return Packed2Reads(codes2, self.lengths, L)
+
     def batches(self, batch_size: int):
         """Yield (codes, lengths, row_offset) slices padded to batch_size."""
         n = self.num_reads
@@ -76,6 +89,55 @@ class PackedReads:
                 c = np.concatenate([c, np.zeros((pad, self.padded_len), np.uint8)])
                 l = np.concatenate([l, np.zeros(pad, np.int32)])
             yield c, l, start
+
+
+@dataclasses.dataclass
+class Packed2Reads:
+    """2-bit-packed reads: 4 base codes per byte (base j in byte j>>2,
+    bits (j&3)*2).  Quarters the host->device bytes of the streaming
+    feed; the device unpacks with two vector ops (unpack_codes2).
+
+    codes2:  [N, ceil(L/4)] uint8 packed base codes, zero past lengths.
+    lengths: [N] int32 true lengths.
+    pad_len: the logical padded read length L the rows unpack to.
+    """
+
+    codes2: np.ndarray
+    lengths: np.ndarray
+    pad_len: int
+    # Real (non-padding) rows when the block was padded host-side to a
+    # batch multiple; None = every row is real.
+    n_real: Optional[int] = None
+
+    @property
+    def num_reads(self) -> int:
+        return self.n_real if self.n_real is not None else self.codes2.shape[0]
+
+    @property
+    def padded_len(self) -> int:
+        return self.pad_len
+
+    def unpacked(self) -> PackedReads:
+        """Host-side unpack (small samples / tests)."""
+        n, L4 = self.codes2.shape
+        b = self.codes2[:, :, None]
+        sh = np.arange(4, dtype=np.uint8) * 2
+        codes = ((b >> sh) & 3).reshape(n, L4 * 4)[:, : self.pad_len]
+        return PackedReads(np.ascontiguousarray(codes), self.lengths, [])
+
+
+def unpack_codes2(codes2, L: int):
+    """Device-side unpack: [..., ceil(L/4)] uint8 -> [..., L] base codes.
+
+    Pure elementwise shifts/masks — XLA fuses this into the consuming
+    hash computation, so packed transfer costs no extra device pass.
+    """
+    import jax.numpy as jnp
+
+    b = codes2[..., :, None]
+    sh = (jnp.arange(4, dtype=jnp.uint8) * 2).astype(jnp.uint8)
+    out = (b >> sh) & jnp.uint8(3)
+    return out.reshape(*codes2.shape[:-1], codes2.shape[-1] * 4)[..., :L]
 
 
 def pack_reads(

@@ -46,9 +46,46 @@ import numpy as np
 from sketch_rna_tpu.config import QuantConfig
 from sketch_rna_tpu.em.classes import group_candidate_rows_meta
 from sketch_rna_tpu.index.artifact import IndexArtifact
-from sketch_rna_tpu.io.packing import PackedReads
+from sketch_rna_tpu.io.packing import Packed2Reads, PackedReads, unpack_codes2
 
 log = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _unpack2(codes2: jnp.ndarray, L: int) -> jnp.ndarray:
+    return unpack_codes2(codes2, L)
+
+
+def _tier_widths_dev(
+    codes_dev, lengths_dev, config, bpacked, bucket_meta, caps, ks, L, packed_len
+):
+    """Tier/probe calibration from an already-uploaded first batch
+    (device-resident variant of pipeline._tier_widths_for — the sample
+    fetch here is deliberately the process's first D2H)."""
+    from sketch_rna_tpu.match.rowmatch import calibrate_tier_widths
+    from sketch_rna_tpu.pipeline import _event_totals_sorted, _probe_width_from
+
+    default = ((8, 16, 64), None)
+    B = codes_dev.shape[0]
+    if not config.match_tiers or B < 1024:
+        return default
+    codes = codes_dev if packed_len is None else _unpack2(codes_dev, packed_len)
+    sample = np.asarray(
+        _event_totals_sorted(
+            codes,
+            lengths_dev,
+            bpacked,
+            kmer_lengths=ks,
+            sketch_fraction=config.sketch_fraction,
+            sketch_caps=caps,
+            bucket_meta=bucket_meta,
+        )
+    )
+    st, sc = sample[: len(sample) // 2], sample[len(sample) // 2 :]
+    widths = calibrate_tier_widths(st, B, config.expand_per_read)
+    probe_w = _probe_width_from(sc, caps)
+    log.info("calibrated tier widths %s probe width %s", widths, probe_w)
+    return widths, probe_w
 
 
 @partial(
@@ -253,13 +290,16 @@ def _chunks_of(
     decoupled from the parser's packing granularity (the drain logic
     relies on one chunk never exceeding the class buffer)."""
 
-    def slices(p: PackedReads) -> Iterator[PackedReads]:
+    def slices(p) -> Iterator[PackedReads]:
         if p.num_reads <= chunk_reads:
             yield p
             return
         for r0 in range(0, p.num_reads, chunk_reads):
             r1 = min(r0 + chunk_reads, p.num_reads)
-            yield PackedReads(p.codes[r0:r1], p.lengths[r0:r1], [])
+            if isinstance(p, Packed2Reads):
+                yield Packed2Reads(p.codes2[r0:r1], p.lengths[r0:r1], p.pad_len)
+            else:
+                yield PackedReads(p.codes[r0:r1], p.lengths[r0:r1], [])
 
     if isinstance(packed_or_iter, PackedReads):
         yield from slices(packed_or_iter)
@@ -289,7 +329,6 @@ def quantify_streamed(
         _em_tables,
         _empty_result,
         _run_em,
-        _tier_widths_for,
     )
     from sketch_rna_tpu.em.em import (
         assign_reads_partitioned,
@@ -348,98 +387,175 @@ def quantify_streamed(
     eff_chunk = min(config.stream_chunk_reads, (m_cap // B) * B)
     if config.stream_drain:
         eff_chunk = min(eff_chunk, max(((m_cap - B) // B) * B, B))
-    with timer.phase("stream_match"):
-        for chunk in _chunks_of(reads, eff_chunk):
+
+    def _host_rows(chunk, cap_c):
+        """Host-side [cap_c, lane] codes + [cap_c] lengths for a chunk,
+        plus (logical read length L, packed_len static arg).  Packed2Reads
+        ships 2-bit rows (a quarter of the transfer bytes); PackedReads
+        ships raw base codes."""
+        n = chunk.num_reads
+        if isinstance(chunk, Packed2Reads):
+            L = int(chunk.pad_len)
+            codes = chunk.codes2
+            pl = L
+        else:
+            L = int(chunk.padded_len)
+            codes = chunk.codes
+            pl = None
+        if codes.shape[0] != cap_c:
+            padded = np.zeros((cap_c, codes.shape[1]), np.uint8)
+            padded[:n] = codes[:n]
+            codes = padded
+        lengths = np.zeros(cap_c, np.int32)
+        lengths[:n] = np.asarray(chunk.lengths[:n], np.int32)
+        return codes, lengths, L, pl
+
+    def _process(codes_dev, lengths_dev, n, nbc, L, caps, pl):
+        """Drain-bound accounting + match + append for one device chunk."""
+        nonlocal buf_tid, buf_score, buf_weight, fill, fill_base
+        cap_c = nbc * B
+        if (
+            config.stream_drain
+            and fill_base + sum(cc for _, cc in pending) + cap_c > m_cap
+        ):
+            # The loose bound trips: settle the pending chunks' true
+            # class counts first (old device scalars — no queue stall),
+            # and only when DISTINCT classes genuinely crowd the buffer
+            # pay the exact-fill sync (round-3 32M run: a fill sync +
+            # full compact nearly every chunk cost ~3 s/chunk at the
+            # raw-row accrual rate).
+            fill_base += sum(int(np.asarray(nc)) for nc, _ in pending)
+            pending.clear()
+            log.info("stream bound trip: fill_base=%d (+%d incoming)", fill_base, cap_c)
+            if fill_base + cap_c > m_cap:
+                # fill_base over-counts whatever the in-append
+                # device-side compaction already reclaimed; sync the
+                # exact fill before deciding to compact or drain.
+                fill_h = int(np.asarray(fill))
+                if fill_h + cap_c > m_cap:
+                    buf_tid, buf_score, buf_weight, fill = _compact_classes(
+                        buf_tid, buf_score, buf_weight
+                    )
+                    fill_h = int(np.asarray(fill))
+                    log.info("stream compact -> fill=%d", fill_h)
+                if fill_h + cap_c > m_cap and fill_h > 0:
+                    log.info("stream drain: %d rows to host", fill_h)
+                    drained.append(
+                        (
+                            np.asarray(buf_tid[:fill_h]),
+                            np.asarray(buf_score[:fill_h]),
+                            np.asarray(buf_weight[:fill_h]),
+                        )
+                    )
+                    buf_tid = jnp.zeros((m_cap, C), jnp.int32)
+                    buf_score = jnp.zeros((m_cap, C), jnp.int32)
+                    buf_weight = jnp.zeros(m_cap, jnp.int32)
+                    fill = jnp.zeros((), jnp.int32)
+                    fill_base = 0
+                else:
+                    fill_base = fill_h
+        if pl is not None:
+            # 2-bit feed: unpack to base codes in a tiny standalone jit
+            # (the [nbc, B, L] expansion is a transient freed right after
+            # the match consumes it; keeping the big match program
+            # unchanged preserves its compilation cache entry).
+            codes_dev = _unpack2(codes_dev, pl)
+        blk_tid, blk_score, blk_weight, n_cls, ncm, st = chunk_match_classes(
+            codes_dev,
+            lengths_dev,
+            bpacked,
+            postings,
+            kmer_lengths=ks,
+            sketch_fraction=config.sketch_fraction,
+            sketch_caps=caps,
+            chain_fraction=config.chain_fraction,
+            expand_per_read=config.expand_per_read,
+            candidate_capacity=C,
+            bucket_meta=bucket_meta,
+            num_transcripts=T,
+            match_tiers=config.match_tiers,
+            tier_widths=widths,
+            probe_width=probe_w if config.match_tiers else None,
+        )
+        buf_tid, buf_score, buf_weight, fill, class_ov = _append_chunk(
+            buf_tid,
+            buf_score,
+            buf_weight,
+            fill,
+            blk_tid,
+            blk_score,
+            blk_weight,
+            n_cls,
+            m_cap=m_cap,
+        )
+        st = dict(st)
+        st["class_overflow"] = class_ov
+        ncm_parts.append(ncm)
+        stats_parts.append(st)
+        pending.append((n_cls, cap_c))
+        log.info("chunk %d dispatched (%d reads)", len(stats_parts) - 1, n)
+
+    # ---- Phase A: upload chunks BEFORE the first device->host transfer.
+    # On tunneled backends the FIRST D2H permanently degrades transfers
+    # and dispatch ~16x (docs/DESIGN.md "axon dispatch cliff"; round-4
+    # measurement: a 159 MB chunk uploads in 0.11 s pre-cliff vs 1.6 s
+    # post-cliff).  2-bit-packed chunks make 32M reads ~1.2 GB, so whole
+    # north-star datasets sit device-resident; chunks beyond the HBM
+    # budget fall back to interleaved upload+match (post-cliff H2D) —
+    # the unbounded-dataset path.
+    dev_chunks = []  # [(codes3_dev, lengths2_dev, n, nbc, L, packed_len)]
+    spent = 0
+    feed = _chunks_of(reads, eff_chunk)
+    with timer.phase("stream_upload"):
+        for chunk in feed:
             n = chunk.num_reads
             if n == 0:
                 continue
             R += n
-            L = int(chunk.padded_len)
-            caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
-            if widths is None:
-                widths, probe_w = _tier_widths_for(
-                    index, chunk, config, bpacked, bucket_meta, caps, ks, L
-                )
             nbc = (n + B - 1) // B
             cap_c = nbc * B
-            if (
-                config.stream_drain
-                and fill_base + sum(cc for _, cc in pending) + cap_c > m_cap
-            ):
-                # The loose bound trips: settle the pending chunks' true
-                # class counts first (old device scalars — no queue
-                # stall), and only when DISTINCT classes genuinely crowd
-                # the buffer pay the exact-fill sync (round-3 32M run: a
-                # fill sync + full compact nearly every chunk cost
-                # ~3 s/chunk at the raw-row accrual rate).
-                fill_base += sum(int(np.asarray(nc)) for nc, _ in pending)
-                pending.clear()
-                if fill_base + cap_c > m_cap:
-                    # fill_base over-counts whatever the in-append
-                    # device-side compaction already reclaimed; sync the
-                    # exact fill before deciding to compact or drain.
-                    fill_h = int(np.asarray(fill))
-                    if fill_h + cap_c > m_cap:
-                        buf_tid, buf_score, buf_weight, fill = _compact_classes(
-                            buf_tid, buf_score, buf_weight
-                        )
-                        fill_h = int(np.asarray(fill))
-                    if fill_h + cap_c > m_cap and fill_h > 0:
-                        drained.append(
-                            (
-                                np.asarray(buf_tid[:fill_h]),
-                                np.asarray(buf_score[:fill_h]),
-                                np.asarray(buf_weight[:fill_h]),
-                            )
-                        )
-                        buf_tid = jnp.zeros((m_cap, C), jnp.int32)
-                        buf_score = jnp.zeros((m_cap, C), jnp.int32)
-                        buf_weight = jnp.zeros(m_cap, jnp.int32)
-                        fill = jnp.zeros((), jnp.int32)
-                        fill_base = 0
-                    else:
-                        fill_base = fill_h
-            codes = jnp.asarray(chunk.codes)
-            lengths = jnp.asarray(chunk.lengths, jnp.int32)
-            pad = cap_c - n
-            if pad:
-                codes = jnp.pad(codes, ((0, pad), (0, 0)))
-                lengths = jnp.pad(lengths, (0, pad))
-            codes_all = codes.reshape(nbc, B, L)
-            lengths_all = lengths.reshape(nbc, B)
-            blk_tid, blk_score, blk_weight, n_cls, ncm, st = chunk_match_classes(
-                codes_all,
-                lengths_all,
-                bpacked,
-                postings,
-                kmer_lengths=ks,
-                sketch_fraction=config.sketch_fraction,
-                sketch_caps=caps,
-                chain_fraction=config.chain_fraction,
-                expand_per_read=config.expand_per_read,
-                candidate_capacity=C,
-                bucket_meta=bucket_meta,
-                num_transcripts=T,
-                match_tiers=config.match_tiers,
-                tier_widths=widths,
-                probe_width=probe_w if config.match_tiers else None,
+            codes_h, lengths_h, L, pl = _host_rows(chunk, cap_c)
+            lane = codes_h.shape[1]
+            codes_dev = jax.device_put(codes_h.reshape(nbc, B, lane))
+            lengths_dev = jax.device_put(lengths_h.reshape(nbc, B))
+            dev_chunks.append((codes_dev, lengths_dev, n, nbc, L, pl))
+            spent += codes_h.nbytes + lengths_h.nbytes
+            if spent >= config.stream_device_read_bytes:
+                break
+
+    if R == 0 and not dev_chunks:
+        # Nothing uploaded: the feed may still hold chunks only when the
+        # budget broke the loop, which requires R > 0.
+        return _empty_result(index)
+
+    # Tier calibration from the first chunk's first batch — the process's
+    # first D2H, deliberately after every Phase-A upload.
+    first_codes, first_lens, _, _, L0, pl0 = dev_chunks[0]
+    caps = tuple(config.sketch_capacity_for(k, L0) for k in ks)
+    widths, probe_w = _tier_widths_dev(
+        first_codes[0], first_lens[0], config, bpacked, bucket_meta,
+        caps, ks, L0, pl0,
+    )
+
+    with timer.phase("stream_match"):
+        for codes_dev, lengths_dev, n, nbc, L, pl in dev_chunks:
+            _process(codes_dev, lengths_dev, n, nbc, L,
+                     tuple(config.sketch_capacity_for(k, L) for k in ks), pl)
+        dev_chunks.clear()
+        for chunk in feed:  # beyond-budget tail: interleaved (rare)
+            n = chunk.num_reads
+            if n == 0:
+                continue
+            R += n
+            nbc = (n + B - 1) // B
+            codes_h, lengths_h, L, pl = _host_rows(chunk, nbc * B)
+            lane = codes_h.shape[1]
+            _process(
+                jax.device_put(codes_h.reshape(nbc, B, lane)),
+                jax.device_put(lengths_h.reshape(nbc, B)),
+                n, nbc, L,
+                tuple(config.sketch_capacity_for(k, L) for k in ks), pl,
             )
-            buf_tid, buf_score, buf_weight, fill, class_ov = _append_chunk(
-                buf_tid,
-                buf_score,
-                buf_weight,
-                fill,
-                blk_tid,
-                blk_score,
-                blk_weight,
-                n_cls,
-                m_cap=m_cap,
-            )
-            st = dict(st)
-            st["class_overflow"] = class_ov
-            ncm_parts.append(ncm)
-            stats_parts.append(st)
-            pending.append((n_cls, cap_c))
 
     if R == 0:
         return _empty_result(index)

@@ -148,9 +148,20 @@ def test_stream_pretail_spill_reruns_flat(monkeypatch):
     fused = pl.quantify(idx, packed, cfg)
 
     # Sabotage the calibration: probe width 1 guarantees pretail spills.
+    # The streaming path calibrates from the uploaded first chunk
+    # (stream._tier_widths_dev); patch both hooks so the fused fallback
+    # rerun (pl.quantify) also sees the sabotage.
+    import sketch_rna_tpu.stream as stream_mod
+
     real = pl._tier_widths_for
     monkeypatch.setattr(
         pl, "_tier_widths_for", lambda *a, **kw: (real(*a, **kw)[0], 1)
+    )
+    real_dev = stream_mod._tier_widths_dev
+    monkeypatch.setattr(
+        stream_mod,
+        "_tier_widths_dev",
+        lambda *a, **kw: (real_dev(*a, **kw)[0], 1),
     )
     monkeypatch.setattr(pl, "FUSED_MAX_PADDED_READS", 0)
 
