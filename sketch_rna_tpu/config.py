@@ -89,14 +89,24 @@ class QuantConfig:
     em_fold_singletons: bool = True
     # Streaming path: class-buffer row capacity (bounds DISTINCT candidate
     # profiles, i.e. transcriptome ambiguity — not read count) and reads
-    # per host->device super-chunk.  4M rows ~ 2 GB HBM at C=64 — sized
-    # so GENCODE-scale multi-10M-read runs hold their global classes
-    # on device (a drain round-trips ~0.5 GB through the host link per
-    # segment, which dominated the 32M-read run at 1M rows; measured
-    # round 3).  Buffers are additionally bounded by the dataset's own
-    # row count when it is known up front, so small runs stay small.
-    stream_class_capacity: int = 1 << 22
+    # per host->device super-chunk.  8M rows ~ 4 GB HBM at C=64 — sized
+    # so GENCODE-scale multi-10M-read runs hold their global classes on
+    # device (round-4 measurement: synthetic uniform 8M reads already
+    # form 2.03M distinct classes, and a drain round-trips ~0.5 GB
+    # through a 23 MB/s D2H link per segment).  Buffers are additionally
+    # bounded by the dataset's own row count when it is known up front,
+    # so small runs stay small.
+    stream_class_capacity: int = 1 << 23
     stream_chunk_reads: int = 1 << 20
+    # Streaming dual-buffer split: classes with at most this many
+    # candidates live in the big [stream_class_capacity, width] running
+    # buffer (lossless — class rows are rank-ordered, so narrow classes
+    # have only zero lanes past the split), while wider classes go to a
+    # small full-width side buffer.  4x less HBM and compaction work
+    # than a C=64-wide buffer; measured round 4: <1% of GENCODE-scale
+    # classes exceed 16 candidates.  0 disables the split (single
+    # full-width buffer).
+    stream_narrow_width: int = 16
     # Streaming read upload budget (bytes of packed read data held on
     # device at once).  Chunks within the budget upload BEFORE the first
     # device->host sync — on tunneled backends the first D2H permanently

@@ -102,6 +102,8 @@ def _tier_widths_dev(
         "match_tiers",
         "tier_widths",
         "probe_width",
+        "narrow_width",
+        "wide_capacity",
     ),
 )
 def chunk_match_classes(
@@ -121,6 +123,8 @@ def chunk_match_classes(
     match_tiers: bool = True,
     tier_widths: Tuple[int, ...] = (8, 16, 64),
     probe_width: Optional[int] = None,
+    narrow_width: int = 0,
+    wide_capacity: int = 0,
 ):
     """Match one super-chunk and PRE-DEDUP it into weighted classes.
 
@@ -134,9 +138,23 @@ def chunk_match_classes(
     with row weights, so chunk-level pre-dedup is exact (same argument
     as the drain re-merge below).
 
-    Returns (blk_tid [nb*B, C], blk_score, blk_weight, n_cls, n_cand_max,
-    stats) where rows past n_cls are zeroed with weight 0 (inert: they
-    join the all-zero class, adding zero weight).
+    With narrow_width == 0, returns (blk_tid [nb*B, C], blk_score,
+    blk_weight, n_cls, n_cand_max, stats) where rows past n_cls are
+    zeroed with weight 0 (inert: they join the all-zero class, adding
+    zero weight).
+
+    With narrow_width > 0 (the dual-buffer layout), classes split by
+    candidate count so the big running buffer stays narrow_width lanes
+    wide (4x less HBM and compaction work at C=64; class rows are
+    rank-ordered, so slicing a <=narrow_width class is lossless):
+      - narrow block [nb*B, narrow_width]: classes with <= narrow_width
+        candidates at their original rows; wide classes' rows zeroed
+        with weight 0 (inert, reclaimed by the next compact),
+      - wide block [wide_capacity, C]: the (rare) wider classes gathered
+        to the front; spill past wide_capacity is counted
+        (stats["wide_spilled"], reads) — never silent.
+    Returns (nb_tid, nb_score, nb_weight, n_cls, bw_tid, bw_score,
+    bw_weight, n_wide, n_cand_max, stats).
     """
     from sketch_rna_tpu.pipeline import sketch_match_step
 
@@ -199,7 +217,34 @@ def chunk_match_classes(
         "sketch_overflow": sk_ov,
         "expand_dropped_pretail": pretail,
     }
-    return blk_tid, blk_score, blk_weight, n_cls, ncm, stats
+    if narrow_width <= 0 or narrow_width >= C:
+        return blk_tid, blk_score, blk_weight, n_cls, ncm, stats
+
+    n_cand = jnp.sum(blk_score > 0, axis=1)
+    is_live = blk_weight > 0
+    wide = is_live & (n_cand > narrow_width)
+    keep_n = is_live & jnp.logical_not(wide)
+    nb_tid = jnp.where(keep_n[:, None], blk_tid[:, :narrow_width], 0)
+    nb_score = jnp.where(keep_n[:, None], blk_score[:, :narrow_width], 0)
+    nb_weight = jnp.where(keep_n, blk_weight, 0)
+    # Wide classes to the front (stable: False sorts first, wide = not).
+    wide_capacity = min(wide_capacity, nb * B)
+    wperm = jnp.argsort(jnp.logical_not(wide), stable=True).astype(jnp.int32)
+    wsel = jax.lax.slice_in_dim(wperm, 0, wide_capacity)
+    wlive = wide[wsel]
+    bw_tid = jnp.where(wlive[:, None], blk_tid[wsel], 0)
+    bw_score = jnp.where(wlive[:, None], blk_score[wsel], 0)
+    bw_weight = jnp.where(wlive, blk_weight[wsel], 0)
+    n_wide_all = jnp.sum(wide.astype(jnp.int32)).astype(jnp.int32)
+    n_wide = jnp.minimum(n_wide_all, wide_capacity).astype(jnp.int32)
+    stats["wide_spilled"] = (
+        jnp.sum(jnp.where(wide, blk_weight, 0)) - jnp.sum(bw_weight)
+    ).astype(jnp.int32)
+    return (
+        nb_tid, nb_score, nb_weight, n_cls,
+        bw_tid, bw_score, bw_weight, n_wide,
+        ncm, stats,
+    )
 
 
 @partial(jax.jit, static_argnames=("m_cap",), donate_argnums=(0, 1, 2))
@@ -268,7 +313,7 @@ def _append_chunk(
     return bt, bs, bw, fl, class_ov
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1, 2))
 def _compact_classes(buf_tid, buf_score, buf_weight):
     """Compact the class buffer: identical candidate profiles collapse
     into weighted classes occupying rows [0, n_classes); rows past
@@ -279,6 +324,135 @@ def _compact_classes(buf_tid, buf_score, buf_weight):
         buf_tid, buf_score, row_weight=buf_weight
     )
     return buf_tid[rep], buf_score[rep], w, scalars[0]
+
+
+class _ClassBuffer:
+    """A running device class buffer with lazy fill accounting + drains.
+
+    Holds [m_cap, width] tid/score tables and [m_cap] weights.  The host
+    tracks an upper bound on the fill in two parts: fill_base (synced
+    class counts) + pending (appended blocks whose true class count
+    hasn't been read — each bounded by its padded block rows until its
+    old device scalar is read, which rarely stalls since the host runs
+    ahead of the device).  The bound therefore grows at the
+    DISTINCT-profile rate, and the exact-fill sync (which drains the
+    dispatch queue) runs only when distinct classes genuinely crowd the
+    buffer.  When even a compacted buffer can't host an incoming block,
+    the compacted classes drain to the host and re-merge before the EM
+    (exact; weight-composing grouping).
+    """
+
+    def __init__(self, m_cap: int, width: int, drain: bool):
+        self.m_cap = m_cap
+        self.width = width
+        self.drain = drain
+        self.tid = jnp.zeros((m_cap, width), jnp.int32)
+        self.score = jnp.zeros((m_cap, width), jnp.int32)
+        self.weight = jnp.zeros(m_cap, jnp.int32)
+        self.fill = jnp.zeros((), jnp.int32)
+        self.fill_base = 0
+        self.pending = []  # [(n_cls device scalar, block rows)]
+        self.drained = []  # host (tid, score, weight) compacted segments
+
+    def ensure_room(self, incoming: int, tag: str) -> None:
+        if not self.drain:
+            return
+        if self.fill_base + sum(c for _, c in self.pending) + incoming <= self.m_cap:
+            return
+        self.fill_base += sum(int(np.asarray(nc)) for nc, _ in self.pending)
+        self.pending.clear()
+        log.info("%s bound trip: fill_base=%d (+%d incoming)",
+                 tag, self.fill_base, incoming)
+        if self.fill_base + incoming <= self.m_cap:
+            return
+        # fill_base over-counts whatever in-append device compaction
+        # already reclaimed; sync the exact fill before compact/drain.
+        fill_h = int(np.asarray(self.fill))
+        if fill_h + incoming > self.m_cap:
+            self.tid, self.score, self.weight, self.fill = _compact_classes(
+                self.tid, self.score, self.weight
+            )
+            fill_h = int(np.asarray(self.fill))
+            log.info("%s compact -> fill=%d", tag, fill_h)
+        if fill_h + incoming > self.m_cap and fill_h > 0:
+            log.info("%s drain: %d rows to host", tag, fill_h)
+            self.drained.append(
+                (
+                    np.asarray(self.tid[:fill_h]),
+                    np.asarray(self.score[:fill_h]),
+                    np.asarray(self.weight[:fill_h]),
+                )
+            )
+            self.tid = jnp.zeros((self.m_cap, self.width), jnp.int32)
+            self.score = jnp.zeros((self.m_cap, self.width), jnp.int32)
+            self.weight = jnp.zeros(self.m_cap, jnp.int32)
+            self.fill = jnp.zeros((), jnp.int32)
+            self.fill_base = 0
+        else:
+            self.fill_base = fill_h
+
+    def append(self, blk_tid, blk_score, blk_weight, n_cls):
+        """Returns the class_overflow scalar (device)."""
+        self.tid, self.score, self.weight, self.fill, ov = _append_chunk(
+            self.tid, self.score, self.weight, self.fill,
+            blk_tid, blk_score, blk_weight, n_cls, m_cap=self.m_cap,
+        )
+        self.pending.append((n_cls, blk_tid.shape[0]))
+        return ov
+
+    def merged(self, W: int):
+        """Final (tid [:, :W'], score, weight) with drained segments
+        re-merged incrementally (W' = min(W, width)); exact at any
+        distinct-class count (grouping composes with row weights)."""
+        W = min(W, self.width)
+        if not self.drained:
+            # Slice to a pow2 row bound over the true fill: grouping the
+            # full m_cap rows costs real sort/hash work on dead zeros
+            # (the sync here is free — the caller just synced stats).
+            fill_h = int(np.asarray(self.fill))
+            rows = min(self.m_cap, max(1 << max(fill_h - 1, 0).bit_length(), 1024))
+            return (
+                self.tid[:rows, :W],
+                self.score[:rows, :W],
+                self.weight[:rows],
+            )
+        # Concatenating every segment at full width first OOMs HBM at
+        # 32M-read scale; merge the running result with ONE segment at a
+        # time (host-narrowed to W columns), regroup, compact.  Peak
+        # device memory is |merged| + |segment| rows at width W.
+        fill_h = int(np.asarray(self.fill))
+        log.info(
+            "stream drain re-merge: %d segments (%d classes) + %d live rows",
+            len(self.drained),
+            sum(d[0].shape[0] for d in self.drained),
+            fill_h,
+        )
+        m_t = jax.lax.slice_in_dim(self.tid[:fill_h], 0, W, axis=1)
+        m_s = jax.lax.slice_in_dim(self.score[:fill_h], 0, W, axis=1)
+        m_w = self.weight[:fill_h]
+        n_live = fill_h
+        for d_t, d_s, d_w in self.drained:
+            d_t = np.asarray(d_t)[:, :W]
+            d_s = np.asarray(d_s)[:, :W]
+            n_tot = n_live + d_t.shape[0]
+            n_pad = 1 << max(n_tot - 1, 0).bit_length()
+            t = jnp.concatenate([m_t, jnp.asarray(d_t)])
+            s = jnp.concatenate([m_s, jnp.asarray(d_s)])
+            w = jnp.concatenate([m_w, jnp.asarray(np.asarray(d_w))])
+            if n_pad > n_tot:
+                # pad rows join the all-zero class, weight 0 (inert)
+                t = jnp.pad(t, ((0, n_pad - n_tot), (0, 0)))
+                s = jnp.pad(s, ((0, n_pad - n_tot), (0, 0)))
+                w = jnp.pad(w, (0, n_pad - n_tot))
+            rep, wgt, scal = group_candidate_rows_meta(t, s, row_weight=w)
+            n_cls = int(np.asarray(scal)[0])
+            sel = jax.lax.slice_in_dim(rep, 0, n_cls)
+            m_t = t[sel]
+            m_s = s[sel]
+            m_w = jax.lax.slice_in_dim(wgt, 0, n_cls)
+            n_live = n_cls
+        log.info("stream drain merged to %d global classes", n_live)
+        return m_t, m_s, m_w
 
 
 def _chunks_of(
@@ -355,35 +529,36 @@ def quantify_streamed(
         m_cap = min(m_cap, max(((known_R + 1023) // 1024) * 1024 + 1024, 2 * B))
     T = index.num_transcripts
 
-    buf_tid = jnp.zeros((m_cap, C), jnp.int32)
-    buf_score = jnp.zeros((m_cap, C), jnp.int32)
-    buf_weight = jnp.zeros(m_cap, jnp.int32)
-    fill = jnp.zeros((), jnp.int32)
+    # Dual-buffer layout (stream_narrow_width > 0 and < C): the big
+    # running buffer holds classes at narrow_width lanes (4x less HBM
+    # and compaction work than C=64; lossless — class rows are
+    # rank-ordered, so a <=narrow_width class has only zero lanes past
+    # it), while the rare wider classes land in a small full-width side
+    # buffer.  Their class populations are disjoint by construction
+    # (candidate count), so grouping/EM-table building runs per buffer
+    # and the tier tables simply concatenate.
+    nw = int(config.stream_narrow_width)
+    dual = 0 < nw < C
+    wcap = min(1 << 16, m_cap) if dual else 0  # per-chunk wide-class rows
+    buf = _ClassBuffer(m_cap, nw if dual else C, config.stream_drain)
+    buf_w = (
+        _ClassBuffer(max(1 << 18, 4 * wcap), C, config.stream_drain)
+        if dual
+        else None
+    )
 
     R = 0
     ncm_parts = []
     stats_parts = []
     widths = None
     probe_w = None
-    drained = []  # host-side (tid, score, weight) compacted segments
-    # Host upper bound on the buffer fill, in two parts: fill_base counts
-    # chunks whose true class count has been synced; pending holds the
-    # (n_cls device scalar, padded block rows) of appended chunks not yet
-    # counted.  A pending chunk contributes its padded block capacity to
-    # the bound until its n_cls is read — and reading it is nearly free,
-    # because by the time the bound trips the chunk's match has long
-    # finished (the host runs about one chunk ahead of the device).  The
-    # bound therefore grows at the DISTINCT-profile rate, not the raw-row
-    # rate, and the exact-fill sync below (which stalls the dispatch
-    # queue) only runs when distinct classes genuinely crowd the buffer.
-    fill_base = 0
-    pending = []  # [(n_cls device scalar, cap_c)] appended, not yet counted
     # With draining, cap the super-chunk so a single chunk's raw rows
     # always fit the buffer next to one in-flight batch: after a drain
     # the in-scan append can then never drop, making the streaming path
     # exact for ANY capacity >= 2*B.
     # A chunk's pre-deduped block has nbc*B rows and must fit the buffer
-    # whole (append is all-or-nothing), so cap the super-chunk by m_cap.
+    # whole (the fast-path append is whole-block), so cap the super-chunk
+    # by m_cap.
     eff_chunk = min(config.stream_chunk_reads, (m_cap // B) * B)
     if config.stream_drain:
         eff_chunk = min(eff_chunk, max(((m_cap - B) // B) * B, B))
@@ -412,55 +587,17 @@ def quantify_streamed(
 
     def _process(codes_dev, lengths_dev, n, nbc, L, caps, pl):
         """Drain-bound accounting + match + append for one device chunk."""
-        nonlocal buf_tid, buf_score, buf_weight, fill, fill_base
         cap_c = nbc * B
-        if (
-            config.stream_drain
-            and fill_base + sum(cc for _, cc in pending) + cap_c > m_cap
-        ):
-            # The loose bound trips: settle the pending chunks' true
-            # class counts first (old device scalars — no queue stall),
-            # and only when DISTINCT classes genuinely crowd the buffer
-            # pay the exact-fill sync (round-3 32M run: a fill sync +
-            # full compact nearly every chunk cost ~3 s/chunk at the
-            # raw-row accrual rate).
-            fill_base += sum(int(np.asarray(nc)) for nc, _ in pending)
-            pending.clear()
-            log.info("stream bound trip: fill_base=%d (+%d incoming)", fill_base, cap_c)
-            if fill_base + cap_c > m_cap:
-                # fill_base over-counts whatever the in-append
-                # device-side compaction already reclaimed; sync the
-                # exact fill before deciding to compact or drain.
-                fill_h = int(np.asarray(fill))
-                if fill_h + cap_c > m_cap:
-                    buf_tid, buf_score, buf_weight, fill = _compact_classes(
-                        buf_tid, buf_score, buf_weight
-                    )
-                    fill_h = int(np.asarray(fill))
-                    log.info("stream compact -> fill=%d", fill_h)
-                if fill_h + cap_c > m_cap and fill_h > 0:
-                    log.info("stream drain: %d rows to host", fill_h)
-                    drained.append(
-                        (
-                            np.asarray(buf_tid[:fill_h]),
-                            np.asarray(buf_score[:fill_h]),
-                            np.asarray(buf_weight[:fill_h]),
-                        )
-                    )
-                    buf_tid = jnp.zeros((m_cap, C), jnp.int32)
-                    buf_score = jnp.zeros((m_cap, C), jnp.int32)
-                    buf_weight = jnp.zeros(m_cap, jnp.int32)
-                    fill = jnp.zeros((), jnp.int32)
-                    fill_base = 0
-                else:
-                    fill_base = fill_h
+        buf.ensure_room(cap_c, "stream")
+        if buf_w is not None:
+            buf_w.ensure_room(wcap, "stream-wide")
         if pl is not None:
             # 2-bit feed: unpack to base codes in a tiny standalone jit
             # (the [nbc, B, L] expansion is a transient freed right after
             # the match consumes it; keeping the big match program
             # unchanged preserves its compilation cache entry).
             codes_dev = _unpack2(codes_dev, pl)
-        blk_tid, blk_score, blk_weight, n_cls, ncm, st = chunk_match_classes(
+        out = chunk_match_classes(
             codes_dev,
             lengths_dev,
             bpacked,
@@ -476,23 +613,21 @@ def quantify_streamed(
             match_tiers=config.match_tiers,
             tier_widths=widths,
             probe_width=probe_w if config.match_tiers else None,
+            narrow_width=nw if dual else 0,
+            wide_capacity=wcap,
         )
-        buf_tid, buf_score, buf_weight, fill, class_ov = _append_chunk(
-            buf_tid,
-            buf_score,
-            buf_weight,
-            fill,
-            blk_tid,
-            blk_score,
-            blk_weight,
-            n_cls,
-            m_cap=m_cap,
-        )
+        if dual:
+            (nb_tid, nb_score, nb_weight, n_cls,
+             bw_tid, bw_score, bw_weight, n_wide, ncm, st) = out
+            class_ov = buf.append(nb_tid, nb_score, nb_weight, n_cls)
+            class_ov = class_ov + buf_w.append(bw_tid, bw_score, bw_weight, n_wide)
+        else:
+            blk_tid, blk_score, blk_weight, n_cls, ncm, st = out
+            class_ov = buf.append(blk_tid, blk_score, blk_weight, n_cls)
         st = dict(st)
         st["class_overflow"] = class_ov
         ncm_parts.append(ncm)
         stats_parts.append(st)
-        pending.append((n_cls, cap_c))
         log.info("chunk %d dispatched (%d reads)", len(stats_parts) - 1, n)
 
     # ---- Phase A: upload chunks BEFORE the first device->host transfer.
@@ -595,64 +730,35 @@ def quantify_streamed(
     for key, v in stats.items():
         if v:
             log.warning("capacity overflow during streaming match: %s=%d", key, v)
-    stats["stream_drains"] = len(drained)
+    stats["stream_drains"] = len(buf.drained) + (
+        len(buf_w.drained) if buf_w is not None else 0
+    )
 
     W = max(int(ncm_all.max()), 1)
     W = min(1 << (W - 1).bit_length(), C)
-    if drained:
-        # Re-merge drained segments with the live buffer INCREMENTALLY:
-        # concatenating every segment at full width first OOMs HBM at
-        # 32M-read scale (tens of millions of rows x C lanes before any
-        # dedup).  Each step merges the running result with ONE segment
-        # (host-narrowed to W columns), regroups (class grouping
-        # composes with row weights — exact), and compacts, so peak
-        # device memory is |merged| + |segment| rows at width W and the
-        # final result is the same global equivalence classes an
-        # unbounded buffer would have produced.  Rows pad to powers of
-        # two so the grouping-program shape family stays small.
-        fill_h = int(np.asarray(fill))
-        log.info(
-            "stream drain: %d segments (%d classes) + %d live rows",
-            len(drained),
-            sum(d[0].shape[0] for d in drained),
-            fill_h,
-        )
-        m_t = jax.lax.slice_in_dim(buf_tid[:fill_h], 0, W, axis=1)
-        m_s = jax.lax.slice_in_dim(buf_score[:fill_h], 0, W, axis=1)
-        m_w = buf_weight[:fill_h]
-        n_live = fill_h
-        for d_t, d_s, d_w in drained:
-            d_t = np.asarray(d_t)[:, :W]
-            d_s = np.asarray(d_s)[:, :W]
-            n_tot = n_live + d_t.shape[0]
-            n_pad = 1 << max(n_tot - 1, 0).bit_length()
-            t = jnp.concatenate([m_t, jnp.asarray(d_t)])
-            s = jnp.concatenate([m_s, jnp.asarray(d_s)])
-            w = jnp.concatenate([m_w, jnp.asarray(np.asarray(d_w))])
-            if n_pad > n_tot:
-                # pad rows join the all-zero class with weight 0 (inert)
-                t = jnp.pad(t, ((0, n_pad - n_tot), (0, 0)))
-                s = jnp.pad(s, ((0, n_pad - n_tot), (0, 0)))
-                w = jnp.pad(w, (0, n_pad - n_tot))
-            rep, wgt, scal = group_candidate_rows_meta(t, s, row_weight=w)
-            n_cls = int(np.asarray(scal)[0])
-            sel = jax.lax.slice_in_dim(rep, 0, n_cls)
-            m_t = t[sel]
-            m_s = s[sel]
-            m_w = jax.lax.slice_in_dim(wgt, 0, n_cls)
-            n_live = n_cls
-        log.info("stream drain merged to %d global classes", n_live)
-        all_tid, all_score, all_weight = m_t, m_s, m_w
-    else:
-        all_tid, all_score, all_weight = buf_tid, buf_score, buf_weight
     with timer.phase("classes"):
+        all_tid, all_score, all_weight = buf.merged(W)
         tables, static_base, static_has = _em_tables(
-            jax.lax.slice_in_dim(all_tid, 0, W, axis=1),
-            jax.lax.slice_in_dim(all_score, 0, W, axis=1),
+            all_tid,
+            all_score,
             config,
             row_weight=all_weight,
             num_transcripts=T,
         )
+        if buf_w is not None:
+            # The wide side buffer's classes are disjoint from the
+            # narrow buffer's (candidate count > narrow_width), so its
+            # tier tables simply concatenate onto the EM working set.
+            w_tid, w_score, w_weight = buf_w.merged(W)
+            tables_w, sb_w, sh_w = _em_tables(
+                w_tid, w_score, config, row_weight=w_weight, num_transcripts=T
+            )
+            tables = tables + tables_w
+            # A wide class has > narrow_width >= 1 candidates, so the
+            # wide fold can never activate; merge defensively anyway.
+            if sb_w is not None:
+                static_base = sb_w if static_base is None else static_base + sb_w
+                static_has = sh_w if static_has is None else static_has | sh_w
         jax.block_until_ready(tables[0][0])
 
     use_mxu = resolve_em_mxu(

@@ -183,3 +183,71 @@ def test_stream_pretail_spill_reruns_flat(monkeypatch):
         fused.weighted_counts, streamed.weighted_counts, rtol=1e-12, atol=1e-14
     )
     np.testing.assert_array_equal(fused.has_entry, streamed.has_entry)
+
+
+def test_dual_buffer_streaming_exact(monkeypatch):
+    """The narrow/wide dual class buffer (stream_narrow_width < C) must
+    reproduce the fused path bit-for-bit, including 2-bit packed chunks:
+    wide classes route through the side buffer, narrow ones through the
+    16x-cheaper narrow buffer, and their tier tables concatenate."""
+    import dataclasses
+
+    rng = np.random.default_rng(77)
+    # Heavily overlapping transcriptome -> many wide candidate profiles.
+    base = rng.integers(0, 4, size=400).astype(np.uint8)
+    seqs = []
+    for i in range(24):
+        a = int(rng.integers(0, 40))
+        mut = base.copy()
+        pos = rng.integers(0, base.size, size=3)
+        mut[pos] = (mut[pos] + 1) % 4
+        seqs.append(np.concatenate([mut[a : a + 300],
+                                    rng.integers(0, 4, size=50).astype(np.uint8)]))
+    recs = FastaRecords([f"T{i}" for i in range(len(seqs))], [decode(s) for s in seqs], 0)
+    cfg = QuantConfig(kmer_lengths=(21,), batch_size=32, max_read_len=128,
+                      em_dtype="float64", candidate_capacity=32,
+                      stream_narrow_width=2, stream_chunk_reads=64)
+    idx = build_index(recs, cfg)
+    reads = [r for r in sample_reads(rng, seqs, n_reads=400, read_len=80,
+                                     error_rate=0.01) if r.size >= 21]
+    codes = np.zeros((len(reads), 128), np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.size] = r
+        lens[i] = r.size
+    packed = PackedReads(codes, lens, [str(i) for i in range(len(reads))])
+
+    fused = pl.quantify(idx, packed, cfg)
+    monkeypatch.setattr(pl, "FUSED_MAX_PADDED_READS", 0)
+
+    from sketch_rna_tpu.stream import quantify_streamed
+
+    for feed in ("packed", "packed2"):
+        if feed == "packed":
+            streamed = quantify_streamed(idx, packed, cfg)
+        else:
+            chunks = [
+                PackedReads(packed.codes[s : s + 64],
+                            packed.lengths[s : s + 64], []).bit_packed()
+                for s in range(0, packed.num_reads, 64)
+            ]
+            streamed = quantify_streamed(
+                idx, iter(chunks), cfg, num_reads_hint=packed.num_reads
+            )
+        assert streamed.stats.get("class_overflow", 0) == 0, feed
+        assert streamed.stats.get("wide_spilled", 0) == 0, feed
+        np.testing.assert_allclose(fused.pi, streamed.pi, rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(
+            fused.weighted_counts, streamed.weighted_counts, rtol=1e-12, atol=1e-14
+        )
+        np.testing.assert_array_equal(fused.has_entry, streamed.has_entry)
+        assert fused.em_iterations == streamed.em_iterations
+
+    # Tiny buffers force compaction + drains on BOTH buffers: still exact.
+    small = dataclasses.replace(cfg, stream_class_capacity=64)
+    streamed = quantify_streamed(idx, packed, small)
+    assert streamed.stats.get("class_overflow", 0) == 0
+    np.testing.assert_allclose(fused.pi, streamed.pi, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        fused.weighted_counts, streamed.weighted_counts, rtol=1e-12, atol=1e-14
+    )
