@@ -107,15 +107,6 @@ class QuantConfig:
     # classes exceed 16 candidates.  0 disables the split (single
     # full-width buffer).
     stream_narrow_width: int = 16
-    # Streaming read upload budget (bytes of packed read data held on
-    # device at once).  Chunks within the budget upload BEFORE the first
-    # device->host sync — on tunneled backends the first D2H permanently
-    # degrades transfer/dispatch throughput ~16x (the "axon dispatch
-    # cliff", docs/DESIGN.md), so front-loading the feed keeps it at full
-    # link speed.  2-bit packing (io/packing.Packed2Reads) makes 32M
-    # 150 bp reads ~1.2 GB; datasets beyond the budget stream the
-    # remainder interleaved (slower, unbounded).
-    stream_device_read_bytes: int = 3 << 30
     # Exactness under class-buffer pressure (default on).  Single-device
     # streaming: when the buffer risks overflowing on the next
     # super-chunk, compact it on device and, if still crowded, drain the

@@ -515,7 +515,9 @@ def quantify_streamed(
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
     timer = PhaseTimer()
     ks = tuple(index.kmer_lengths)
-    bpacked, postings, bucket_meta = _device_index(index, ks)
+    with timer.phase("index_prep"):
+        bpacked, postings, bucket_meta = _device_index(index, ks)
+        jax.block_until_ready(bpacked)
     B = config.batch_size
     C = config.candidate_capacity
     m_cap = max(config.stream_class_capacity, 2 * B)
@@ -630,19 +632,17 @@ def quantify_streamed(
         stats_parts.append(st)
         log.info("chunk %d dispatched (%d reads)", len(stats_parts) - 1, n)
 
-    # ---- Phase A: upload chunks BEFORE the first device->host transfer.
-    # On tunneled backends the FIRST D2H permanently degrades transfers
-    # and dispatch ~16x (docs/DESIGN.md "axon dispatch cliff"; round-4
-    # measurement: a 159 MB chunk uploads in 0.11 s pre-cliff vs 1.6 s
-    # post-cliff).  2-bit-packed chunks make 32M reads ~1.2 GB, so whole
-    # north-star datasets sit device-resident; chunks beyond the HBM
-    # budget fall back to interleaved upload+match (post-cliff H2D) —
-    # the unbounded-dataset path.
-    dev_chunks = []  # [(codes3_dev, lengths2_dev, n, nbc, L, packed_len)]
-    spent = 0
-    feed = _chunks_of(reads, eff_chunk)
-    with timer.phase("stream_upload"):
-        for chunk in feed:
+    # Interleaved upload + match: each chunk's 2-bit-packed transfer is
+    # enqueued right before its match, so the wire time of chunk c+1
+    # (~40 MB packed; the tunneled link sustains only ~40-100 MB/s, and
+    # its transfer acks are async — round-4 measurement: 31 "0.1 s"
+    # uploads then stall the next dependent op for 31+ s) rides under
+    # chunk c's ~1.2 s of match compute.  2-bit packing is what keeps
+    # the per-chunk wire time below the match time; the host-side pack
+    # of chunk c+1 overlaps too (chunks_from_scan2's background
+    # thread).
+    with timer.phase("stream_match"):
+        for chunk in _chunks_of(reads, eff_chunk):
             n = chunk.num_reads
             if n == 0:
                 continue
@@ -653,44 +653,18 @@ def quantify_streamed(
             lane = codes_h.shape[1]
             codes_dev = jax.device_put(codes_h.reshape(nbc, B, lane))
             lengths_dev = jax.device_put(lengths_h.reshape(nbc, B))
-            dev_chunks.append((codes_dev, lengths_dev, n, nbc, L, pl))
-            spent += codes_h.nbytes + lengths_h.nbytes
-            if spent >= config.stream_device_read_bytes:
-                break
-
-    if R == 0 and not dev_chunks:
-        # Nothing uploaded: the feed may still hold chunks only when the
-        # budget broke the loop, which requires R > 0.
-        return _empty_result(index)
-
-    # Tier calibration from the first chunk's first batch — the process's
-    # first D2H, deliberately after every Phase-A upload.
-    first_codes, first_lens, _, _, L0, pl0 = dev_chunks[0]
-    caps = tuple(config.sketch_capacity_for(k, L0) for k in ks)
-    widths, probe_w = _tier_widths_dev(
-        first_codes[0], first_lens[0], config, bpacked, bucket_meta,
-        caps, ks, L0, pl0,
-    )
-
-    with timer.phase("stream_match"):
-        for codes_dev, lengths_dev, n, nbc, L, pl in dev_chunks:
-            _process(codes_dev, lengths_dev, n, nbc, L,
-                     tuple(config.sketch_capacity_for(k, L) for k in ks), pl)
-        dev_chunks.clear()
-        for chunk in feed:  # beyond-budget tail: interleaved (rare)
-            n = chunk.num_reads
-            if n == 0:
-                continue
-            R += n
-            nbc = (n + B - 1) // B
-            codes_h, lengths_h, L, pl = _host_rows(chunk, nbc * B)
-            lane = codes_h.shape[1]
-            _process(
-                jax.device_put(codes_h.reshape(nbc, B, lane)),
-                jax.device_put(lengths_h.reshape(nbc, B)),
-                n, nbc, L,
-                tuple(config.sketch_capacity_for(k, L) for k in ks), pl,
-            )
+            caps = tuple(config.sketch_capacity_for(k, L) for k in ks)
+            if widths is None:
+                with timer.phase("calibrate"):
+                    widths, probe_w = _tier_widths_dev(
+                        codes_dev[0], lengths_dev[0], config, bpacked,
+                        bucket_meta, caps, ks, L, pl,
+                    )
+            _process(codes_dev, lengths_dev, n, nbc, L, caps, pl)
+        # The dispatch loop runs far ahead of the device; block here so
+        # the phase report attributes the match queue's drain to
+        # stream_match rather than to whichever sync happens next.
+        jax.block_until_ready(buf.weight)
 
     if R == 0:
         return _empty_result(index)
