@@ -479,8 +479,10 @@ def _resample(idx, cfg, n_reads, read_len, seed):
 
 def main():
     from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
+    from sketch_rna_tpu.utils.linksettle import settle_link
 
     enable_compilation_cache()
+    settle_link()
     if "--configs-full" in sys.argv:
         run_configs(full=True)
         return

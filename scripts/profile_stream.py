@@ -39,7 +39,9 @@ def main():
     from sketch_rna_tpu.index.artifact import load_index
     from sketch_rna_tpu.io import native
     from sketch_rna_tpu.stream import quantify_streamed
+    from sketch_rna_tpu.utils.linksettle import settle_link
 
+    print(f"link settle: {settle_link():.2f}s", flush=True)
     t_all = time.perf_counter()
     idx = load_index(args.index)
     ks = tuple(idx.kmer_lengths)

@@ -421,6 +421,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("Usage: sketch-rna-tpu quant <index_file> <reads.fastq> <output>", file=sys.stderr)
             return 1
         config = _config_from_args(args, args.kmer_length)
+        from sketch_rna_tpu.utils.linksettle import settle_link
+
+        settle_link()
         run_quant(
             args.positional[0],
             args.positional[1],

@@ -18,6 +18,7 @@ Sentinel key slots hold 0xFFFFFFFF (bitcast -1); every real kept hash is
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -91,6 +92,44 @@ def bucket_table_shape(
         shift += 1
     mb = max(int(counts.max()) if U else 0, 1)
     return nb, mb, shift
+
+
+@partial(jax.jit, static_argnames=("nb", "mb", "shift"))
+def build_bucket_table_device(
+    keys: jnp.ndarray,  # [U] uint32 sorted
+    row_ptr: jnp.ndarray,  # [U+1] int32
+    *,
+    nb: int,
+    mb: int,
+    shift: int,
+) -> jnp.ndarray:
+    """Device-side construction of the packed [nb, 3*mb] probe table.
+
+    Numerically identical to build_bucket_table (tests pin equality) but
+    ships only the CSR arrays over the host->device link — ~2.6x fewer
+    bytes than the packed table at GENCODE scale (122 MB vs 316 MB),
+    which matters on tunneled links sustaining tens of MB/s.  The build
+    itself is three unique-index scatters over U lanes (keys are sorted,
+    so each bucket is a contiguous run and every (bucket, slot) target
+    is distinct).
+    """
+    U = keys.shape[0]
+    b = (keys >> jnp.uint32(shift)).astype(jnp.int32)  # [U] ascending
+    counts = jnp.zeros(nb, jnp.int32).at[b].add(1)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    within = jnp.arange(U, dtype=jnp.int32) - starts[b]
+    flat = jnp.full(nb * 3 * mb, 0, jnp.int32)
+    # sentinel key bits in every key slot
+    key_slots = (jnp.arange(nb * 3 * mb, dtype=jnp.int32) % (3 * mb)) < mb
+    flat = jnp.where(key_slots, jnp.int32(-1), flat)
+    base = b * (3 * mb) + within
+    lens = (row_ptr[1:] - row_ptr[:-1]).astype(jnp.int32)
+    flat = flat.at[base].set(jax.lax.bitcast_convert_type(keys, jnp.int32))
+    flat = flat.at[base + mb].set(row_ptr[:-1].astype(jnp.int32))
+    flat = flat.at[base + 2 * mb].set(lens)
+    return flat.reshape(nb, 3 * mb)
 
 
 def bucket_lookup(

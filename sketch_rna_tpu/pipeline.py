@@ -37,7 +37,12 @@ from sketch_rna_tpu.em.em import (
 )
 from sketch_rna_tpu.index.artifact import IndexArtifact
 from sketch_rna_tpu.io.packing import PackedReads
-from sketch_rna_tpu.match.bucket_lookup import bucket_lookup, build_bucket_table
+from sketch_rna_tpu.match.bucket_lookup import (
+    bucket_lookup,
+    bucket_table_shape,
+    build_bucket_table,
+    build_bucket_table_device,
+)
 from sketch_rna_tpu.match.rowmatch import (
     calibrate_tier_widths,
     row_events_to_candidates,
@@ -95,14 +100,28 @@ def _device_index(idx: IndexArtifact, ks: Sequence[int]):
     keys, row_ptr, postings = _padded_index_arrays(idx, ks)
     packed, metas = [], []
     for i in range(len(ks)):
-        bt = build_bucket_table(keys[i], row_ptr[i])
-        packed.append(bt.packed)
-        metas.append((bt.shift, bt.mb))
+        # Ship the CSR arrays and build the packed probe table ON
+        # DEVICE (~2.6x fewer wire bytes than the packed table at
+        # GENCODE scale; bucket_lookup.build_bucket_table_device is
+        # pinned equal to the host builder).  The shape decision
+        # (histogram + pair-merge) stays on host — it's cheap and the
+        # result is three static ints.
+        nb, mb, shift = bucket_table_shape(keys[i])
+        packed.append(
+            build_bucket_table_device(
+                jnp.asarray(keys[i]),
+                jnp.asarray(np.asarray(row_ptr[i], np.int32)),
+                nb=nb,
+                mb=mb,
+                shift=shift,
+            )
+        )
+        metas.append((shift, mb))
     # Cache DEVICE arrays: bucket tables reach hundreds of MB at GENCODE
     # scale, and re-uploading them per quantify call costs tens of
     # seconds through tunneled backends.
     result = (
-        tuple(jnp.asarray(p) for p in packed),
+        tuple(packed),
         tuple(jnp.asarray(np.asarray(p)) for p in postings),
         tuple(metas),
     )

@@ -517,7 +517,15 @@ def quantify_streamed(
     ks = tuple(index.kmer_lengths)
     with timer.phase("index_prep"):
         bpacked, postings, bucket_meta = _device_index(index, ks)
-        jax.block_until_ready(bpacked)
+        # Settle the index upload with a tiny DEPENDENT fetch per array:
+        # transfer acks are async on tunneled backends, and a D2H issued
+        # while hundreds of MB are still in flight can hit a tunnel
+        # timeout-and-retry stall measured at 10-22 MINUTES (round 4:
+        # 'calibrate 1317.6s' with identical code that otherwise runs it
+        # in 8 s).  Fetching one element forces the uploads to land
+        # before the chunk feed starts queuing behind them.
+        for p in (*bpacked, *postings):
+            np.asarray(p[(0,) * p.ndim])
     B = config.batch_size
     C = config.candidate_capacity
     m_cap = max(config.stream_class_capacity, 2 * B)

@@ -54,3 +54,30 @@ def test_bucket_table_single_key():
     s, l = bucket_lookup(q, m, jnp.asarray(bt.packed), shift=bt.shift, mb=bt.mb)
     np.testing.assert_array_equal(np.asarray(l), [[3, 0]])
     np.testing.assert_array_equal(np.asarray(s)[0, 0], 0)
+
+
+def test_device_build_matches_host():
+    """build_bucket_table_device must produce the exact packed table the
+    host builder does (the device build ships only CSR arrays over the
+    link; pipeline._device_index relies on their equality)."""
+    import jax.numpy as jnp
+
+    from sketch_rna_tpu.match.bucket_lookup import (
+        bucket_table_shape,
+        build_bucket_table,
+        build_bucket_table_device,
+    )
+
+    rng = np.random.default_rng(5150)
+    for U in (1, 7, 1000, 50000):
+        keys = np.unique(rng.integers(0, 1 << 27, size=U, dtype=np.uint32))
+        lens = rng.integers(1, 9, size=keys.size).astype(np.int32)
+        row_ptr = np.zeros(keys.size + 1, np.int32)
+        np.cumsum(lens, out=row_ptr[1:])
+        host = build_bucket_table(keys, row_ptr)
+        nb, mb, shift = bucket_table_shape(keys)
+        assert (nb, mb, shift) == (host.packed.shape[0], host.mb, host.shift)
+        dev = build_bucket_table_device(
+            jnp.asarray(keys), jnp.asarray(row_ptr), nb=nb, mb=mb, shift=shift
+        )
+        np.testing.assert_array_equal(np.asarray(dev), host.packed)
