@@ -18,6 +18,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS even when the container's sitecustomize
+# pre-registered the remote TPU backend (without this the "CPU" dryrun
+# silently runs on the single-tenant chip).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
+
 import numpy as np
 
 
@@ -28,6 +39,16 @@ def main():
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--k", default="31")
+    ap.add_argument("--index-hbm-budget", type=int, default=None,
+                    help="per-device index HBM budget (bytes) fed to the "
+                    "PRODUCTION mesh auto-widening (dist/mesh.mesh_factor "
+                    "index_bytes path) — set below the index footprint to "
+                    "force >=N index shards end-to-end")
+    ap.add_argument("--verify-single", type=int, default=0,
+                    help="ALSO run this many reads through the sharded AND "
+                    "single-device paths and require bit-identical pi")
+    ap.add_argument("--artifact", default=None,
+                    help="write a JSON artifact with the chosen mesh + result")
     args = ap.parse_args()
 
     from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
@@ -36,7 +57,7 @@ def main():
     import jax
 
     from sketch_rna_tpu.config import QuantConfig
-    from sketch_rna_tpu.dist.mesh import make_mesh, mesh_factor
+    from sketch_rna_tpu.dist.mesh import index_device_bytes, make_mesh, mesh_factor
     from sketch_rna_tpu.index.artifact import load_index, save_index
     from sketch_rna_tpu.index.build import build_index
     from sketch_rna_tpu.io.fasta import FastaRecords
@@ -45,9 +66,7 @@ def main():
     from sketch_rna_tpu.utils.synth import sample_reads_device, synth_transcriptome
 
     nd = len(jax.devices())
-    dp, ip = mesh_factor(nd)
-    mesh = make_mesh(dp, ip)
-    print(f"devices={nd} mesh=({dp}x{ip}) backend={jax.default_backend()}", flush=True)
+    print(f"devices={nd} backend={jax.default_backend()}", flush=True)
 
     rng = np.random.default_rng(2026)
     seqs = synth_transcriptome(rng, args.transcripts)
@@ -76,6 +95,26 @@ def main():
         save_index(cache, idx)
     print(f"index: T={idx.num_transcripts}", flush=True)
 
+    # The PRODUCTION mesh selection (pipeline.quantify_sharded and
+    # dist/multihost both route through mesh_factor with
+    # index_device_bytes): with --index-hbm-budget below the footprint,
+    # the index axis must widen until each shard's share fits.
+    idx_bytes = index_device_bytes(idx)
+    dp, ip = mesh_factor(
+        nd, index_bytes=idx_bytes, hbm_budget_bytes=args.index_hbm_budget
+    )
+    mesh = make_mesh(dp, ip)
+    print(
+        f"mesh=({dp}x{ip}) index_device_bytes={idx_bytes} "
+        f"budget={args.index_hbm_budget}",
+        flush=True,
+    )
+    if args.index_hbm_budget is not None:
+        need = -(-idx_bytes // args.index_hbm_budget)  # ceil
+        assert ip >= min(need, nd), (
+            f"production auto-widening chose ip={ip}, need >= {min(need, nd)}"
+        )
+
     codes, lens = sample_reads_device(
         seqs, args.reads, args.read_len, cfg.max_read_len, 7
     )
@@ -96,6 +135,60 @@ def main():
         f"overflows={ {k: v for k, v in result.stats.items() if v} }",
         flush=True,
     )
+
+    identical = None
+    if args.verify_single:
+        import dataclasses
+
+        from sketch_rna_tpu.pipeline import quantify
+
+        # float64 EM for the comparison; the suite's sharded-equality
+        # bar (tests/test_sharded.py) is 1e-12 RELATIVE — cross-device
+        # psum reductions associate differently than the one-program
+        # sums, so last-ulp equality is not expected even in float64.
+        # Requires JAX_ENABLE_X64=1 in the environment.
+        vcfg = dataclasses.replace(cfg, em_dtype="float64")
+        nv = args.verify_single
+        small = PackedReads(packed.codes[:nv], packed.lengths[:nv], [])
+        rs = quantify_sharded(idx, small, vcfg, mesh=mesh)
+        r1 = quantify(idx, small, vcfg)
+        rel = np.abs(rs.pi - r1.pi) / np.maximum(np.abs(r1.pi), 1e-300)
+        max_rel = float(rel.max())
+        rows_eq = bool(np.array_equal(rs.has_entry, r1.has_entry))
+        identical = max_rel < 1e-12 and rows_eq
+        print(
+            f"sharded vs single-device on {nv} reads: max_rel={max_rel:.3e} "
+            f"rows_equal={rows_eq}",
+            flush=True,
+        )
+        assert identical, (
+            f"sharded path diverged from single-device (max_rel={max_rel:.3e},"
+            f" rows_equal={rows_eq})"
+        )
+
+    if args.artifact:
+        import json
+
+        with open(args.artifact, "w") as fh:
+            json.dump(
+                {
+                    "devices": nd,
+                    "mesh": [dp, ip],
+                    "transcripts": idx.num_transcripts,
+                    "index_device_bytes": idx_bytes,
+                    "index_hbm_budget": args.index_hbm_budget,
+                    "reads": args.reads,
+                    "elapsed_s": round(dt, 1),
+                    "em_iterations": result.em_iterations,
+                    "rows": int(result.has_entry.sum()),
+                    "overflows": {k: v for k, v in result.stats.items() if v},
+                    "matches_single_device_1e12_rel_f64": identical,
+                    "verify_single_reads": args.verify_single or None,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"artifact written to {args.artifact}", flush=True)
 
 
 if __name__ == "__main__":
