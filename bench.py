@@ -360,10 +360,23 @@ def _csv_parity(ours_csv: str, ref_csv: str):
     av = np.array([a[k] for k in shared])
     bv = np.array([b[k] for k in shared])
     rel = np.abs(av - bv) / np.maximum(np.abs(bv), 1e-12)
-    ra = np.argsort(np.argsort(av))
-    rb = np.argsort(np.argsort(bv))
+
+    def avg_rank(v):
+        # average ranks over ties (CSV abundances repeat heavily — a
+        # naive argsort-argsort rank breaks ties arbitrarily and
+        # understates rho on identical data)
+        _u, inv, counts = np.unique(v, return_inverse=True, return_counts=True)
+        csum = np.cumsum(counts)
+        return ((csum - counts + csum - 1) / 2.0)[inv]
+
+    ra, rb = avg_rank(av), avg_rank(bv)
     n = len(shared)
-    rho = 1.0 - 6.0 * float(((ra - rb) ** 2).sum()) / (n * (n * n - 1)) if n > 1 else 1.0
+    if n > 1:
+        ca, cb = ra - ra.mean(), rb - rb.mean()
+        denom = float(np.sqrt((ca * ca).sum() * (cb * cb).sum()))
+        rho = float((ca * cb).sum()) / denom if denom else 1.0
+    else:
+        rho = 1.0
     return {
         "rows_shared": n,
         "rows_ours_only": len(a) - n,
@@ -415,12 +428,20 @@ def run_configs_full():
             "reads": packed.num_reads,
             **_timed_quant(cfg, idx, packed, repeats=2),
         }
-        if ks == (31,) and os.path.exists(ref_csv):
+        if ks == (31,) and os.path.exists(ref_csv) and os.path.exists("/tmp/reads1m.fq"):
+            # Parity must run on THE SAME reads the reference binary
+            # quantified (scripts/gencode_parity.py writes
+            # /tmp/reads1m.fq with its own seed) — not this entry's
+            # throughput sample.
             import tempfile
 
+            from sketch_rna_tpu.io import native
             from sketch_rna_tpu.pipeline import quantify, write_csv
 
-            r = quantify(idx, packed, cfg)
+            ppar, _ = native.pack_fastq_native(
+                "/tmp/reads1m.fq", max(ks), cfg.max_read_len
+            )
+            r = quantify(idx, ppar, cfg)
             with tempfile.NamedTemporaryFile(suffix=".csv", delete=False) as tf:
                 write_csv(tf.name, r)
                 parity = _csv_parity(tf.name, ref_csv)
