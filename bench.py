@@ -451,40 +451,47 @@ def run_configs_full():
         table[name] = entry
         print(json.dumps({"config": name, **entry}), file=sys.stderr, flush=True)
 
-    fq = "/tmp/big32m.fq"
-    idx_path = os.path.join(cache, "T250000_k31.npz")
-    if os.path.exists(fq) and os.path.exists(idx_path):
-        from sketch_rna_tpu.io import native
-        from sketch_rna_tpu.stream import quantify_streamed
+    table["c4_gencode_32m_streamed"] = _stream32m_entry()
+    print(json.dumps({"config": "c4_gencode_32m_streamed",
+                      **table["c4_gencode_32m_streamed"]}),
+          file=sys.stderr, flush=True)
+    return table
 
-        idx = load_index(idx_path)
-        cfg = QuantConfig(kmer_lengths=(31,), em_dtype="float32")
-        t_all = time.perf_counter()
-        scan = native.NativeFastqScan(fq, 31)
-        pad_len = max(((scan.max_len + 7) // 8) * 8, 31)
-        stream = native.chunks_from_scan2(
-            scan, cfg.stream_chunk_reads, pad_len, row_multiple=cfg.batch_size
-        )
-        result = quantify_streamed(idx, stream, cfg, num_reads_hint=scan.num_reads)
-        dt = time.perf_counter() - t_all
-        table["c4_gencode_32m_streamed"] = {
-            "transcripts": idx.num_transcripts,
-            "reads": result.num_reads,
-            "reads_per_s": round(result.num_reads / dt, 1),
-            "elapsed_s": round(dt, 2),
-            "em_iterations": result.em_iterations,
-            "phases_s": {k: round(v, 2) for k, v in result.timing.items()},
-            "overflows": {k: v for k, v in result.stats.items() if v},
-        }
-        print(json.dumps({"config": "c4_gencode_32m_streamed",
-                          **table["c4_gencode_32m_streamed"]}),
-              file=sys.stderr, flush=True)
-    else:
-        table["c4_gencode_32m_streamed"] = {
+
+def _stream32m_entry():
+    """The 32M-read file->CSV streaming measurement (real CLI route)."""
+    from sketch_rna_tpu.config import QuantConfig
+    from sketch_rna_tpu.index.artifact import load_index
+
+    fq = "/tmp/big32m.fq"
+    idx_path = "/tmp/sketch_scale_cache/T250000_k31.npz"
+    if not (os.path.exists(fq) and os.path.exists(idx_path)):
+        return {
             "skipped": "missing /tmp/big32m.fq (scripts/make_fastq.py) or the "
                        "scale-cache index"
         }
-    return table
+    from sketch_rna_tpu.io import native
+    from sketch_rna_tpu.stream import quantify_streamed
+
+    idx = load_index(idx_path)
+    cfg = QuantConfig(kmer_lengths=(31,), em_dtype="float32")
+    t_all = time.perf_counter()
+    scan = native.NativeFastqScan(fq, 31)
+    pad_len = max(((scan.max_len + 7) // 8) * 8, 31)
+    stream = native.chunks_from_scan2(
+        scan, cfg.stream_chunk_reads, pad_len, row_multiple=cfg.batch_size
+    )
+    result = quantify_streamed(idx, stream, cfg, num_reads_hint=scan.num_reads)
+    dt = time.perf_counter() - t_all
+    return {
+        "transcripts": idx.num_transcripts,
+        "reads": result.num_reads,
+        "reads_per_s": round(result.num_reads / dt, 1),
+        "elapsed_s": round(dt, 2),
+        "em_iterations": result.em_iterations,
+        "phases_s": {k: round(v, 2) for k, v in result.timing.items()},
+        "overflows": {k: v for k, v in result.stats.items() if v},
+    }
 
 
 def _resample(idx, cfg, n_reads, read_len, seed):
@@ -498,12 +505,40 @@ def _resample(idx, cfg, n_reads, read_len, seed):
     return sample_reads_device(seqs, n_reads, read_len, cfg.max_read_len, seed)
 
 
+def run_stream32m_only():
+    """Fresh-process 32M streaming entry, merged into BENCH_MATRIX.json.
+
+    The in-matrix measurement runs after several other configs in one
+    process and pays their accumulated dispatch/link state (~20% slower
+    than the user-visible CLI); this flag reproduces the CLI's
+    fresh-process conditions under the same harness."""
+    entry = _stream32m_entry()
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.json")
+    table = {}
+    if os.path.exists(out):
+        with open(out) as fh:
+            table = json.load(fh)
+    if entry and "skipped" not in entry:
+        table["c4_gencode_32m_streamed"] = {
+            **entry,
+            "note": "fresh-process run (bench.py --stream32m): matches the "
+                    "CLI's conditions; in-matrix runs measure ~20% slower "
+                    "after the preceding configs' link/dispatch state",
+        }
+        with open(out, "w") as fh:
+            json.dump(table, fh, indent=1)
+    print(json.dumps({"metric": "stream32m", **(entry or {})}))
+
+
 def main():
     from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
     from sketch_rna_tpu.utils.linksettle import settle_link
 
     enable_compilation_cache()
     settle_link()
+    if "--stream32m" in sys.argv:
+        run_stream32m_only()
+        return
     if "--configs-full" in sys.argv:
         run_configs(full=True)
         return
