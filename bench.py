@@ -530,12 +530,71 @@ def run_stream32m_only():
     print(json.dumps({"metric": "stream32m", **(entry or {})}))
 
 
+def run_standard_spread(n: int = 5):
+    """Run the standard bench N times in FRESH subprocesses and commit
+    the spread into BENCH_MATRIX.json as c_bench_standard.
+
+    Why: the ~1 s timed window on this tunneled backend jitters run to
+    run far beyond normal dispatch noise (round-5 measurement: 750k to
+    940k reads/s across 5 fresh processes — a 25% spread with identical
+    code), so any single capture (like BENCH_r04's 724k) is not a
+    regression signal by itself.  The committed entry carries every run
+    plus the median, which is the number README/BASELINE quote."""
+    import subprocess
+
+    vals = []
+    for i in range(n):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=900,
+        )
+        v = None
+        for line in p.stdout.splitlines():
+            try:
+                d = json.loads(line)
+                if d.get("metric") == "quant_reads_per_s_per_chip":
+                    v = d["value"]
+            except (json.JSONDecodeError, TypeError):
+                continue
+        if v is not None:
+            vals.append(v)
+        print(json.dumps({"spread_run": i, "value": v}), file=sys.stderr, flush=True)
+    if not vals:
+        print(json.dumps({"metric": "standard_spread", "skipped": "no runs parsed"}))
+        return
+    vals_sorted = sorted(vals)
+    entry = {
+        "runs": vals,
+        "n": len(vals),
+        "median_reads_per_s": vals_sorted[len(vals) // 2],
+        "min_reads_per_s": vals_sorted[0],
+        "max_reads_per_s": vals_sorted[-1],
+        "note": "standard bench (2k transcripts, 131072 reads, k=31), "
+                "N fresh processes; the tunneled link jitters single "
+                "captures by ~25%, so the median is the headline",
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.json")
+    table = {}
+    if os.path.exists(out):
+        with open(out) as fh:
+            table = json.load(fh)
+    table["c_bench_standard"] = entry
+    with open(out, "w") as fh:
+        json.dump(table, fh, indent=1)
+    print(json.dumps({"metric": "standard_spread", **entry}))
+
+
 def main():
     from sketch_rna_tpu.utils.compilecache import enable_compilation_cache
     from sketch_rna_tpu.utils.linksettle import settle_link
 
     enable_compilation_cache()
     settle_link()
+    if "--standard-spread" in sys.argv:
+        i = sys.argv.index("--standard-spread")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 5
+        run_standard_spread(n)
+        return
     if "--stream32m" in sys.argv:
         run_stream32m_only()
         return

@@ -101,9 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "(default 1M); chunks are parsed/packed on the host while "
                    "the device matches the previous chunk")
     p.add_argument("--stream-class-capacity", type=int, default=None,
-                   help="streaming class-buffer rows (default 4M; bounds "
+                   help="streaming class-buffer rows (default %d; bounds "
                    "DISTINCT candidate profiles held on device — overflow "
-                   "drops classes and is counted, never silent)")
+                   "drops classes and is counted, never silent)"
+                   % QuantConfig.stream_class_capacity)
     p.add_argument("--no-stream-drain", action="store_true",
                    help="disable the class-buffer exactness recovery (host "
                    "drain + re-merge when streaming; one bigger-buffer rerun "
@@ -349,19 +350,21 @@ def run_quant(
             # its first iteration would otherwise leak the mmap + record
             # table (close() is idempotent).
             stream_scan.close()
-        if (
-            config.match_tiers
-            and result.stats.get("expand_dropped_pretail", 0) > 0
-        ):
-            # Iterator feeds can't replay inside quantify_streamed;
-            # rebuild the native scan and rerun flat (exact) here.
+        # Iterator feeds can't replay inside quantify_streamed; rebuild
+        # the native scan and rerun with the recovery config (flat
+        # windows / doubled expansion / single-width buffer) until the
+        # overflow stats clear — each recovery moves the config toward a
+        # bound, so the loop terminates.
+        from sketch_rna_tpu.stream import stream_retry_config
+
+        while True:
+            retry_cfg, reason = stream_retry_config(config, result.stats)
+            if retry_cfg is None:
+                break
             from sketch_rna_tpu.io import native
 
-            log.warning(
-                "tiered streaming dropped %d pretail events; re-scanning "
-                "and rerunning with flat windows",
-                result.stats["expand_dropped_pretail"],
-            )
+            log.warning("streaming %s; re-scanning and rerunning", reason)
+            config = retry_cfg
             scan2 = native.NativeFastqScan(reads_path, max(idx.kmer_lengths))
             stream2 = native.chunks_from_scan2(
                 scan2, config.stream_chunk_reads, pad_len,
@@ -369,10 +372,7 @@ def run_quant(
             )
             try:
                 result = quantify_streamed(
-                    idx,
-                    stream2,
-                    dataclasses.replace(config, match_tiers=False),
-                    num_reads_hint=scan2.num_reads,
+                    idx, stream2, config, num_reads_hint=scan2.num_reads
                 )
             finally:
                 scan2.close()

@@ -96,8 +96,9 @@ def _body(
     # sort inside grouping interleaves them exactly).
     keym = jax.lax.all_gather(keym, "index", axis=1, tiled=True)
 
+    n_parts = keym.shape[1] // parts[0].shape[1]
     result = row_events_to_candidates(
-        keym,
+        jnp.split(keym, n_parts, axis=1) if n_parts > 1 else keym,
         num_k=K,
         chain_fraction=chain_fraction,
         candidate_capacity=candidate_capacity,

@@ -119,8 +119,11 @@ def _match_chunk_sharded(
         keym = jnp.concatenate(parts, axis=1) if K > 1 else parts[0]
         # Merge partial events across index shards along the lane axis.
         keym = jax.lax.all_gather(keym, "index", axis=1, tiled=True)
+        # Re-split into the (shard, k) parts so grouping can use per-part
+        # sorts + bitonic merges (identical row multiset either way).
+        n_parts = keym.shape[1] // parts[0].shape[1]
         res = row_events_to_candidates(
-            keym,
+            jnp.split(keym, n_parts, axis=1) if n_parts > 1 else keym,
             num_k=K,
             chain_fraction=chain_fraction,
             candidate_capacity=C,

@@ -119,6 +119,56 @@ def row_expand_from_runs(
     return key, n_dropped
 
 
+def _bitonic_merge_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two row-wise ASCENDING-sorted [B, w] int32 arrays into one
+    sorted [B, 2w] row: reverse b (making each row bitonic) then run the
+    log2(2w) compare-exchange stages of a bitonic merge.  Requires w to
+    be a power of two (callers check).
+
+    Why: XLA's row sort is super-linear in width (w*log^2 w comparator
+    passes), so sorting K per-k event windows separately and MERGING
+    (log-linear) beats one K-times-wider sort — the DESIGN known-gap 8
+    fix for the multi-k grouping stage.
+    """
+    B, w = a.shape
+    x = jnp.concatenate([a, b[:, ::-1]], axis=1)
+    n = 2 * w
+    d = n // 2
+    while d >= 1:
+        y = x.reshape(B, n // (2 * d), 2, d)
+        lo = jnp.minimum(y[:, :, 0, :], y[:, :, 1, :])
+        hi = jnp.maximum(y[:, :, 0, :], y[:, :, 1, :])
+        x = jnp.stack((lo, hi), axis=2).reshape(B, n)
+        d //= 2
+    return x
+
+
+def sort_event_parts(parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Row-sort per-k event-key parts and combine into one sorted row.
+
+    When every part has the same power-of-two width and the part count
+    is a power of two, each [B, w] part sorts independently and a
+    bitonic merge tree combines them — identical output to sorting the
+    concatenation (same value multiset per row, fully sorted), measured
+    faster at multi-k GENCODE shapes (scripts/profile_multik_merge.py).
+    Otherwise falls back to the full-width sort.
+    """
+    if len(parts) == 1:
+        return jnp.sort(parts[0], axis=-1)
+    widths = {int(p.shape[1]) for p in parts}
+    w = parts[0].shape[1]
+    kp = len(parts)
+    if len(widths) == 1 and w & (w - 1) == 0 and kp & (kp - 1) == 0:
+        level = [jnp.sort(p, axis=-1) for p in parts]
+        while len(level) > 1:
+            level = [
+                _bitonic_merge_pair(level[i], level[i + 1])
+                for i in range(0, len(level), 2)
+            ]
+        return level[0]
+    return jnp.sort(jnp.concatenate(parts, axis=1), axis=-1)
+
+
 def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((x.shape[0], 1), fill, x.dtype), x[:, :-1]], axis=1)
 
@@ -138,17 +188,21 @@ def row_events_to_candidates(
     """Group packed event keys row-wise into per-read top-C candidates.
 
     keym: [B, W] int32 packed keys tid*K + k (sentinel INT32_MAX), any
-    lane order (sorted here).
+    lane order (sorted here) — or a sequence of per-k [B, w] parts,
+    which sort independently and bitonic-merge (sort_event_parts):
+    identical grouping input, fewer comparator passes at K > 1.
 
     num_transcripts (optional): when the transcript count is small enough
     that (rank, tid) packs into 31 bits, the top-C selection runs as a
     single-operand row sort instead of a 3-operand lexicographic sort.
     """
+    if isinstance(keym, (list, tuple)):
+        keym = sort_event_parts(keym)
+    else:
+        keym = jnp.sort(keym, axis=-1)
     B, W = keym.shape
     K = num_k
     C = candidate_capacity
-
-    keym = jnp.sort(keym, axis=-1)
     i_idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
     valid = keym != _I32_MAX
     prev = _shift_right(keym, jnp.int32(-1))
@@ -394,7 +448,7 @@ def row_match_runs_tiered(
             parts.append(key)
             drops.append(d)
         result = row_events_to_candidates(
-            jnp.concatenate(parts, axis=1) if K > 1 else parts[0],
+            parts if K > 1 else parts[0],
             num_k=K,
             chain_fraction=chain_fraction,
             candidate_capacity=C,
@@ -430,7 +484,7 @@ def row_match_runs_tiered(
             if t_i < len(plan) - 1:
                 pretail = pretail + d
         res = row_events_to_candidates(
-            jnp.concatenate(parts, axis=1) if K > 1 else parts[0],
+            parts if K > 1 else parts[0],
             num_k=K,
             chain_fraction=chain_fraction,
             candidate_capacity=C,
@@ -489,9 +543,8 @@ def row_match(
         )
         parts.append(key)
         drops.append(d)
-    keym = jnp.concatenate(parts, axis=1)
     result = row_events_to_candidates(
-        keym,
+        parts if K > 1 else parts[0],
         num_k=K,
         chain_fraction=chain_fraction,
         candidate_capacity=candidate_capacity,

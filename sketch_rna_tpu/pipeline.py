@@ -398,7 +398,7 @@ def sketch_match_step(
             parts.append(key)
             drops.append(d)
         result = row_events_to_candidates(
-            jnp.concatenate(parts, axis=1),
+            parts if K > 1 else parts[0],
             num_k=K,
             chain_fraction=chain_fraction,
             candidate_capacity=candidate_capacity,
@@ -510,6 +510,15 @@ def match_scan(
 # Fused path engages when the padded read count stays under this bound
 # (candidate tables [N, C] + pair arrays [N*C] must fit in HBM).
 FUSED_MAX_PADDED_READS = 1 << 21
+
+# Exactness retry bound for expansion-window overflow: on nonzero
+# expand_dropped every engine doubles expand_per_read and reruns (the
+# reference counts every posting of every sketch hash and never drops,
+# /root/reference/src/sparse_chaining.cpp:48-73).  16384 events per
+# read per k means an average posting-run length > 2000 over a read's
+# ~6 sketch probes — beyond any real transcriptome; past this the drop
+# is warned instead (capacity overflow log + stats).
+EXPAND_RETRY_MAX = 1 << 14
 
 
 @dataclasses.dataclass
@@ -1106,12 +1115,19 @@ def _quantify_fused(
                         jnp.reshape(n_cand_max, (1,)),
                         jnp.reshape(stats["expand_dropped_pretail"], (1,)),
                         scalars,
+                        jnp.reshape(jnp.sum(stats["expand_dropped"]), (1,)),
                     ]
                 )
             )
         else:
             sync = np.asarray(
-                jnp.stack([n_cand_max, stats["expand_dropped_pretail"]])
+                jnp.concatenate(
+                    [
+                        jnp.reshape(n_cand_max, (1,)),
+                        jnp.reshape(stats["expand_dropped_pretail"], (1,)),
+                        jnp.reshape(jnp.sum(stats["expand_dropped"]), (1,)),
+                    ]
+                )
             )
 
     if config.match_tiers and int(sync[1]) > 0:
@@ -1124,6 +1140,24 @@ def _quantify_fused(
         )
         return _quantify_fused(
             index, packed, dataclasses.replace(config, match_tiers=False), nb
+        )
+    if int(sync[-1]) > 0 and config.expand_per_read < EXPAND_RETRY_MAX:
+        # The FULL expansion budget (flat window or tail tier) dropped
+        # posting events — the reference never drops any
+        # (/root/reference/src/sparse_chaining.cpp:48-73), so rerun with
+        # a doubled per-read window until it covers the dataset (same
+        # exactness-over-speed pattern as the pretail flat rerun and the
+        # sharded class-overflow rerun).  EXPAND_RETRY_MAX bounds the
+        # doubling; past it the drop is warned (final-stats path below).
+        new_epr = min(2 * config.expand_per_read, EXPAND_RETRY_MAX)
+        log.warning(
+            "expansion budget dropped %d events; rerunning with "
+            "expand_per_read=%d",
+            int(sync[-1]),
+            new_epr,
+        )
+        return _quantify_fused(
+            index, packed, dataclasses.replace(config, expand_per_read=new_epr), nb
         )
 
     # Tables are rank-ordered per read, so narrowing to the max per-read
@@ -1393,7 +1427,7 @@ def _sharded_stream_core(
     m_cap_full = max(_round_up(nb * Bl, 1024), 2 * Bl)
     m_cap = min(max(config.stream_class_capacity, 2 * Bl), m_cap_full)
 
-    def run(tiers: bool):
+    def run(tiers: bool, epr: int = config.expand_per_read):
         return stream_sharded_scan(
             codes_all,
             lengths_all,
@@ -1405,7 +1439,7 @@ def _sharded_stream_core(
             sketch_fraction=config.sketch_fraction,
             sketch_caps=caps,
             chain_fraction=config.chain_fraction,
-            expand_per_read=config.expand_per_read,
+            expand_per_read=epr,
             candidate_capacity=config.candidate_capacity,
             num_transcripts=index.num_transcripts,
             match_tiers=tiers,
@@ -1441,6 +1475,22 @@ def _sharded_stream_core(
         )
         m_cap = m_cap_full
         bt, bs, bw, scalars, dropped, sk_ov = run(tiers_now)
+        sc = np.asarray(scalars)
+    # Full-budget expansion drops: the reference never drops a posting
+    # event (/root/reference/src/sparse_chaining.cpp:48-73); double the
+    # per-read window until it covers the dataset.  `dropped` is psum'd
+    # inside the shard_map (replicated), so every process takes the same
+    # branch; the doubling is bounded by EXPAND_RETRY_MAX.
+    epr_now = config.expand_per_read
+    while int(np.asarray(dropped).sum()) > 0 and epr_now < EXPAND_RETRY_MAX:
+        epr_now = min(2 * epr_now, EXPAND_RETRY_MAX)
+        log.warning(
+            "sharded expansion budget dropped %d events; rerunning with "
+            "expand_per_read=%d",
+            int(np.asarray(dropped).sum()),
+            epr_now,
+        )
+        bt, bs, bw, scalars, dropped, sk_ov = run(tiers_now, epr_now)
         sc = np.asarray(scalars)
 
     W = max(int(sc[0]), 1)

@@ -56,18 +56,66 @@ def _unpack2(codes2: jnp.ndarray, L: int) -> jnp.ndarray:
     return unpack_codes2(codes2, L)
 
 
+def stream_retry_config(config: QuantConfig, stats: dict):
+    """Pick the exactness-recovery config for nonzero overflow stats.
+
+    Returns (new_config, reason) or (None, "").  Shared by
+    quantify_streamed (replayable PackedReads feeds rerun internally)
+    and the CLI (which re-scans iterator feeds and retries).  Ordering:
+    pretail drops first (the flat rerun also re-evaluates the others),
+    then full-budget expansion drops (doubled window, bounded by
+    pipeline.EXPAND_RETRY_MAX), then wide-class spill (single
+    full-width buffer — no wide side buffer, so no spill possible).
+    """
+    import dataclasses
+
+    from sketch_rna_tpu.pipeline import EXPAND_RETRY_MAX
+
+    if config.match_tiers and stats.get("expand_dropped_pretail", 0) > 0:
+        return (
+            dataclasses.replace(config, match_tiers=False),
+            "dropped %d pretail events -> flat windows"
+            % stats["expand_dropped_pretail"],
+        )
+    if (
+        stats.get("expand_dropped", 0) > 0
+        and config.expand_per_read < EXPAND_RETRY_MAX
+    ):
+        epr = min(2 * config.expand_per_read, EXPAND_RETRY_MAX)
+        return (
+            dataclasses.replace(config, expand_per_read=epr),
+            "expansion budget dropped %d events -> expand_per_read=%d"
+            % (stats["expand_dropped"], epr),
+        )
+    if stats.get("wide_spilled", 0) > 0 and config.stream_narrow_width > 0:
+        return (
+            dataclasses.replace(config, stream_narrow_width=0),
+            "wide class buffer spilled %d reads -> single full-width buffer"
+            % stats["wide_spilled"],
+        )
+    return None, ""
+
+
 def _tier_widths_dev(
-    codes_dev, lengths_dev, config, bpacked, bucket_meta, caps, ks, L, packed_len
+    codes_dev, lengths_dev, config, bpacked, bucket_meta, caps, ks, L, packed_len,
+    n_real=None,
 ):
     """Tier/probe calibration from an already-uploaded first batch
     (device-resident variant of pipeline._tier_widths_for — the sample
-    fetch here is deliberately the process's first D2H)."""
+    fetch here is deliberately the process's first D2H).
+
+    n_real: the chunk's real (unpadded) read count; with fewer than
+    1024 real reads the sample rows are mostly zero-length padding and
+    would calibrate skewed-small widths, so return the defaults
+    (matching pipeline._tier_widths_for's guard)."""
     from sketch_rna_tpu.match.rowmatch import calibrate_tier_widths
     from sketch_rna_tpu.pipeline import _event_totals_sorted, _probe_width_from
 
     default = ((8, 16, 64), None)
     B = codes_dev.shape[0]
     if not config.match_tiers or B < 1024:
+        return default
+    if n_real is not None and min(n_real, B) < 1024:
         return default
     codes = codes_dev if packed_len is None else _unpack2(codes_dev, packed_len)
     sample = np.asarray(
@@ -551,8 +599,12 @@ def quantify_streamed(
     dual = 0 < nw < C
     wcap = min(1 << 16, m_cap) if dual else 0  # per-chunk wide-class rows
     buf = _ClassBuffer(m_cap, nw if dual else C, config.stream_drain)
+    # The wide side buffer is bounded by the known row count like the
+    # narrow one (wide classes are a subset of all classes, so m_cap is
+    # a valid bound) — tiny streamed runs otherwise paid a fixed
+    # [2^18, C] footprint (~134 MB at C=64).
     buf_w = (
-        _ClassBuffer(max(1 << 18, 4 * wcap), C, config.stream_drain)
+        _ClassBuffer(min(max(1 << 18, 4 * wcap), m_cap), C, config.stream_drain)
         if dual
         else None
     )
@@ -666,7 +718,7 @@ def quantify_streamed(
                 with timer.phase("calibrate"):
                     widths, probe_w = _tier_widths_dev(
                         codes_dev[0], lengths_dev[0], config, bpacked,
-                        bucket_meta, caps, ks, L, pl,
+                        bucket_meta, caps, ks, L, pl, n_real=n,
                     )
             _process(codes_dev, lengths_dev, n, nbc, L, caps, pl)
         # The dispatch loop runs far ahead of the device; block here so
@@ -683,31 +735,24 @@ def quantify_streamed(
         k: int(np.asarray(jnp.stack([s[k] for s in stats_parts]).sum(axis=0)).sum())
         for k in stats_parts[0]
     }
-    if config.match_tiers and stats.get("expand_dropped_pretail", 0) > 0:
-        # Tiered windows can only drop events a flat window would keep
-        # when the first-chunk calibration under-sizes a tier; mirror
-        # the fused and sharded paths' exact flat rerun.  Iterator feeds
-        # cannot be replayed here — the CLI rebuilds the feed and
-        # retries (cli.run_quant); other callers see the warning + stat.
+    retry_cfg, reason = stream_retry_config(config, stats)
+    if retry_cfg is not None:
+        # Exactness recoveries (mirroring the fused and sharded paths):
+        # pretail drops -> flat windows; full-budget expansion drops ->
+        # doubled window; wide-class spill -> single full-width buffer.
+        # Iterator feeds cannot be replayed here — the CLI rebuilds the
+        # feed and retries (cli.run_quant); other callers see the
+        # warning + stat.
         if isinstance(reads, PackedReads):
-            import dataclasses
-
-            log.warning(
-                "tiered streaming match dropped %d pretail events; "
-                "rerunning flat",
-                stats["expand_dropped_pretail"],
-            )
+            log.warning("streaming match %s; rerunning", reason)
             return quantify_streamed(
-                index,
-                reads,
-                dataclasses.replace(config, match_tiers=False),
-                num_reads_hint=num_reads_hint,
+                index, reads, retry_cfg, num_reads_hint=num_reads_hint
             )
         log.warning(
-            "tiered streaming match dropped %d pretail events on a "
-            "non-replayable feed; rerun with match_tiers=False for "
-            "exact results",
-            stats["expand_dropped_pretail"],
+            "streaming match %s on a non-replayable feed; the CLI "
+            "re-scans and retries, other callers should rerun with the "
+            "adjusted config for exact results",
+            reason,
         )
     for key, v in stats.items():
         if v:
