@@ -476,12 +476,13 @@ def _stream32m_entry():
     idx = load_index(idx_path)
     cfg = QuantConfig(kmer_lengths=(31,), em_dtype="float32")
     t_all = time.perf_counter()
-    scan = native.NativeFastqScan(fq, 31)
-    pad_len = max(((scan.max_len + 7) // 8) * 8, 31)
-    stream = native.chunks_from_scan2(
-        scan, cfg.stream_chunk_reads, pad_len, row_multiple=cfg.batch_size
+    # LazyScanFeed: the record scan runs on a background thread and
+    # overlaps quantify_streamed's index upload (the CLI's big-file
+    # route does the same).
+    feed = native.LazyScanFeed(
+        fq, 31, cfg.stream_chunk_reads, row_multiple=cfg.batch_size
     )
-    result = quantify_streamed(idx, stream, cfg, num_reads_hint=scan.num_reads)
+    result = quantify_streamed(idx, feed, cfg)
     dt = time.perf_counter() - t_all
     return {
         "transcripts": idx.num_transcripts,

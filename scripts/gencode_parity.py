@@ -143,18 +143,24 @@ def main():
     if args.skip_ref:
         return
     exe = build_reftool("/tmp/refbuild")
-    ridx = "/tmp/refbuild/gencode.idx"
-    rcsv = "/tmp/refbuild/gencode_out.csv"
-    if not os.path.exists(ridx):
-        t0 = time.perf_counter()
-        subprocess.run([exe, "-k", "31", "-o", "index", fa, ridx],
-                       check=True, timeout=3600)
-        print(f"reference index: {time.perf_counter()-t0:.1f}s", flush=True)
-    if not os.path.exists(rcsv):
-        t0 = time.perf_counter()
-        subprocess.run([exe, "-o", "quant", ridx, fq, rcsv],
-                       check=True, timeout=7200)
-        print(f"reference quant: {time.perf_counter()-t0:.1f}s", flush=True)
+    # Single-k AND multi-k ground truths (the reference accepts
+    # -k 21,31) — the multi-k CSV backs BENCH_MATRIX's
+    # c4_gencode_250k_1m_multik parity block.
+    for ktag, kflag in (("", "31"), ("_k21_31", "21,31")):
+        ridx = f"/tmp/refbuild/gencode{ktag}.idx"
+        rcsv = f"/tmp/refbuild/gencode_out{ktag}.csv"
+        if not os.path.exists(ridx):
+            t0 = time.perf_counter()
+            subprocess.run([exe, "-k", kflag, "-o", "index", fa, ridx],
+                           check=True, timeout=3600)
+            print(f"reference index -k {kflag}: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+        if not os.path.exists(rcsv):
+            t0 = time.perf_counter()
+            subprocess.run([exe, "-o", "quant", ridx, fq, rcsv],
+                           check=True, timeout=7200)
+            print(f"reference quant -k {kflag}: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
     print("parity artifacts ready", flush=True)
 
 

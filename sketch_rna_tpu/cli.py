@@ -311,7 +311,26 @@ def run_quant(
         from sketch_rna_tpu.io import native
         from sketch_rna_tpu.pipeline import FUSED_MAX_PADDED_READS
 
-        if native.native_available():
+        import os as _os
+
+        # Files comfortably beyond the fused bound (2 GB ≈ 6M+ reads at
+        # short-read record sizes vs FUSED_MAX_PADDED_READS=2M) stream
+        # without a blocking up-front scan: LazyScanFeed scans on a
+        # background thread and quantify_streamed's device index upload
+        # overlaps it.  Smaller files keep the exact num_reads route.
+        if (
+            native.native_available()
+            and _os.path.getsize(reads_path) >= (2 << 30)
+        ):
+            stream_scan = native.LazyScanFeed(
+                reads_path,
+                max(idx.kmer_lengths),
+                config.stream_chunk_reads,
+                row_multiple=config.batch_size,
+            )
+            stream = stream_scan
+            pad_len = None  # resolved from the feed when needed (retry)
+        elif native.native_available():
             scan = native.NativeFastqScan(reads_path, max(idx.kmer_lengths))
             pad_len = max(config.max_read_len, ((scan.max_len + 127) // 128) * 128)
             if scan.num_reads > FUSED_MAX_PADDED_READS:
@@ -341,9 +360,16 @@ def run_quant(
     if stream is not None:
         from sketch_rna_tpu.stream import quantify_streamed
 
+        # LazyScanFeed resolves its own num_reads lazily (after the
+        # index upload); passing the hint here would join the scan early
+        # and serialize it back in front of the upload.
+        lazy = isinstance(stream, native.LazyScanFeed) if use_native else False
         try:
             result = quantify_streamed(
-                idx, stream, config, num_reads_hint=stream_scan.num_reads
+                idx,
+                stream,
+                config,
+                num_reads_hint=None if lazy else stream_scan.num_reads,
             )
         finally:
             # The generator closes the scan once started; an error before
@@ -365,6 +391,8 @@ def run_quant(
 
             log.warning("streaming %s; re-scanning and rerunning", reason)
             config = retry_cfg
+            if pad_len is None:
+                pad_len = stream_scan.pad_len  # lazy route: 8-rounded max
             scan2 = native.NativeFastqScan(reads_path, max(idx.kmer_lengths))
             stream2 = native.chunks_from_scan2(
                 scan2, config.stream_chunk_reads, pad_len,

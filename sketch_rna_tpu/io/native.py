@@ -386,6 +386,80 @@ def chunks_from_scan2(
             scan.close()
 
 
+class LazyScanFeed:
+    """A 2-bit chunk feed whose native record scan runs on a background
+    thread.
+
+    Construction returns immediately; the scan (mmap + parallel
+    byte-range parse + dedup — several seconds at 32M reads) overlaps
+    whatever the caller does next: at GENCODE streaming scale that is
+    the device index upload + settle (stream.quantify_streamed's
+    index_prep), which previously serialized after the scan.  Any
+    attribute needing scan results (num_reads, max_len, pad_len,
+    iteration) joins the thread first; scan errors re-raise there.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        min_len: int,
+        chunk_reads: int,
+        pad_len: Optional[int] = None,
+        row_multiple: int = 1,
+    ):
+        import threading
+
+        self._path = path
+        self._min_len = min_len
+        self._chunk_reads = chunk_reads
+        self._pad_len = pad_len
+        self._row_multiple = row_multiple
+        self._scan: Optional[NativeFastqScan] = None
+        self._exc: Optional[BaseException] = None
+        self._started = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            self._scan = NativeFastqScan(self._path, self._min_len)
+        except BaseException as e:  # re-raised at join
+            self._exc = e
+
+    @property
+    def scan(self) -> NativeFastqScan:
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._scan
+
+    @property
+    def num_reads(self) -> int:
+        return self.scan.num_reads
+
+    @property
+    def pad_len(self) -> int:
+        if self._pad_len is not None:
+            return self._pad_len
+        return max(((self.scan.max_len + 7) // 8) * 8, self._min_len)
+
+    def __iter__(self):
+        self._started = True
+        return chunks_from_scan2(
+            self.scan,
+            self._chunk_reads,
+            self.pad_len,
+            row_multiple=self._row_multiple,
+            close=True,
+        )
+
+    def close(self):
+        # chunks_from_scan2 closes the scan once iteration starts; this
+        # covers the error-before-first-chunk path (idempotent).
+        if self._exc is None and not self._started:
+            self.scan.close()
+
+
 def iter_fastq_chunks_native(
     path: str,
     min_len: int,

@@ -169,6 +169,164 @@ def sort_event_parts(parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return jnp.sort(jnp.concatenate(parts, axis=1), axis=-1)
 
 
+def _merge_sorted_pair_payload(ka, pa, kb, pb):
+    """Bitonic-merge two row-wise key-sorted [B, w] pairs (key, payload)
+    into sorted [B, 2w]; payload rides the compare-exchanges."""
+    B, w = ka.shape
+    k = jnp.concatenate([ka, kb[:, ::-1]], axis=1)
+    p = jnp.concatenate([pa, pb[:, ::-1]], axis=1)
+    n = 2 * w
+    d = n // 2
+    while d >= 1:
+        kr = k.reshape(B, n // (2 * d), 2, d)
+        pr = p.reshape(B, n // (2 * d), 2, d)
+        a_k, b_k = kr[:, :, 0, :], kr[:, :, 1, :]
+        a_p, b_p = pr[:, :, 0, :], pr[:, :, 1, :]
+        sw = a_k > b_k
+        k = jnp.stack(
+            (jnp.where(sw, b_k, a_k), jnp.where(sw, a_k, b_k)), axis=2
+        ).reshape(B, n)
+        p = jnp.stack(
+            (jnp.where(sw, b_p, a_p), jnp.where(sw, a_p, b_p)), axis=2
+        ).reshape(B, n)
+        d //= 2
+    return k, p
+
+
+def _top_c_select(meets, tid, score, *, score_bound, candidate_capacity, num_transcripts):
+    """Select the top-C candidate lanes by (score desc, tid asc).
+
+    Shared tail of row_events_to_candidates and combine_k_tables.
+    score_bound: static upper bound on any score value (rank packing).
+    """
+    B, W = tid.shape
+    C = candidate_capacity
+    big = jnp.int32(score_bound + 2)
+    prim = jnp.where(meets, (score_bound + 1) - score, big)
+    prim_bits = int(score_bound + 2).bit_length()
+    tid_bits = 31 - prim_bits
+    if 0 < num_transcripts <= (1 << tid_bits):
+        # Pack (rank, tid) into one int32: single-operand selection.
+        # Non-candidate lanes carry arbitrary tids; zero them (their
+        # rank byte already sorts them last).
+        tid_c = jnp.where(meets, tid, 0)
+        packed = (prim << tid_bits) | tid_c
+        if C < W:
+            # Smallest C of W via top_k on the negation.
+            vals, _ = jax.lax.top_k(-packed, C)
+            s_packed = -vals
+        else:
+            s_packed = jnp.sort(packed, axis=-1)[:, :C]
+        s_prim_c = s_packed >> tid_bits
+        tbl_mask = s_prim_c < big
+        tbl_tid = jnp.where(tbl_mask, s_packed & ((1 << tid_bits) - 1), 0)
+        tbl_score = jnp.where(tbl_mask, (score_bound + 1) - s_prim_c, 0)
+    else:
+        s_prim, s_tid, s_score = jax.lax.sort((prim, tid, score), num_keys=2)
+        tbl_mask = s_prim[:, :C] < big
+        tbl_tid = jnp.where(tbl_mask, s_tid[:, :C], 0)
+        tbl_score = jnp.where(tbl_mask, s_score[:, :C], 0)
+
+    n_cand = jnp.sum(meets.astype(jnp.int32), axis=1)
+    stats = {"candidate_spilled": jnp.sum(jnp.maximum(n_cand - C, 0))}
+    return MatchResult(tid=tbl_tid, score=tbl_score, mask=tbl_mask, stats=stats)
+
+
+def combine_k_tables(
+    tid_parts: Sequence[jnp.ndarray],
+    score_parts: Sequence[jnp.ndarray],
+    mask_parts: Sequence[jnp.ndarray],
+    *,
+    candidate_capacity: int,
+    score_bound: int,
+    num_transcripts: int = 0,
+) -> MatchResult:
+    """Combine K per-k top-C candidate tables into the forall-k result.
+
+    Reference semantics (/root/reference/src/sparse_chaining.cpp:83-105):
+    a transcript is a candidate iff it passes the per-k fraction
+    threshold for EVERY k — vacuously for a k where the read has no
+    events at all (max count 0) — and its score is the sum of its per-k
+    counts.  Each per-k K=1 table has already applied its own threshold
+    (and a k with no events yields an empty table), so the combine is a
+    pure set intersection + score addition over K*C lanes:
+
+      - per-k tables sort by tid (invalid lanes -> sentinel),
+      - a bitonic merge tree (payload = score) produces one tid-sorted
+        row per read,
+      - a tid meets iff its run length equals the read's number of
+        NON-VACUOUS ks; its score is the run's score sum,
+      - top-C selection as in row_events_to_candidates.
+
+    This replaces the K-wide event grouping for K > 1 on single-device
+    paths: the round-5 A/B measured that grouping's K-coupling at
+    +6.1 ms/batch (scripts/profile_multik_stages.py) — intersecting
+    C-wide pre-grouped tables does the same work over ~4x fewer lanes
+    with the cheap K=1 grouping branch.  The only capacity difference:
+    per-k passing sets truncate at the per-k table capacity BEFORE the
+    intersection (the old path truncated after); spills are counted
+    per k, never silent, and callers size the per-k capacity at 2*C.
+    """
+    K = len(tid_parts)
+    B = tid_parts[0].shape[0]
+    # Per-k tier windows give per-k tables different capacities; pad to
+    # a common pow2 width (sentinel keys / zero scores are inert).
+    Ck = _next_pow2(max(t.shape[1] for t in tid_parts))
+    pad = lambda x, fill: (
+        x
+        if x.shape[1] == Ck
+        else jnp.concatenate(
+            [x, jnp.full((B, Ck - x.shape[1]), fill, x.dtype)], axis=1
+        )
+    )
+    tid_parts = [pad(t, 0) for t in tid_parts]
+    score_parts = [pad(s, 0) for s in score_parts]
+    mask_parts = [pad(m, False) for m in mask_parts]
+    keys = [
+        jnp.where(m, t, _I32_MAX) for t, m in zip(tid_parts, mask_parts)
+    ]
+    scores = [jnp.where(m, s, 0) for s, m in zip(score_parts, mask_parts)]
+    level = [jax.lax.sort((k_, s), num_keys=1) for k_, s in zip(keys, scores)]
+    if K & (K - 1) == 0 and Ck & (Ck - 1) == 0 and K > 1:
+        while len(level) > 1:
+            level = [
+                _merge_sorted_pair_payload(*level[i], *level[i + 1])
+                for i in range(0, len(level), 2)
+            ]
+        key, sc = level[0]
+    elif K > 1:
+        key, sc = jax.lax.sort(
+            (jnp.concatenate(keys, axis=1), jnp.concatenate(scores, axis=1)),
+            num_keys=1,
+        )
+    else:
+        key, sc = level[0]
+    W = key.shape[1]
+    valid = key != _I32_MAX
+    i_idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
+    prev = _shift_right(key, jnp.int32(-1))
+    nxt = _shift_left(key, _I32_MAX - 1)
+    is_start = valid & (key != prev)
+    is_end = valid & (key != nxt)
+    start_pos = jax.lax.cummax(jnp.where(is_start, i_idx, -1), axis=1)
+    run_len = i_idx - start_pos + 1
+    # Scores are >= 0, so the cumsum is nondecreasing and a cummax
+    # propagates each run's base (same trick as the event grouping).
+    c_sc = jnp.cumsum(sc, axis=1)
+    base = jax.lax.cummax(jnp.where(is_start, _shift_right(c_sc, jnp.int32(0)), 0), axis=1)
+    run_score = c_sc - base
+    k_req = sum(jnp.any(m, axis=1).astype(jnp.int32) for m in mask_parts)
+    meets = is_end & (run_len == k_req[:, None])
+    return _top_c_select(
+        meets,
+        jnp.where(valid, key, 0),
+        run_score,
+        score_bound=score_bound,
+        candidate_capacity=candidate_capacity,
+        num_transcripts=num_transcripts,
+    )
+
+
 def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((x.shape[0], 1), fill, x.dtype), x[:, :-1]], axis=1)
 
@@ -289,38 +447,84 @@ def row_events_to_candidates(
             & (n_runs == k_required[:, None])
         )
 
-    # Top-C by (score desc, tid asc): one more row sort.
-    big = jnp.int32(W + 2)
-    prim = jnp.where(meets, (W + 1) - score, big)
-    prim_bits = int(W + 2).bit_length()
-    tid_bits = 31 - prim_bits
-    if 0 < num_transcripts <= (1 << tid_bits):
-        # Pack (rank, tid) into one int32: single-operand selection.
-        # Non-candidate lanes carry sentinel-derived tids far beyond T;
-        # zero them (their rank byte already sorts them last).
-        tid_c = jnp.where(meets, tid, 0)
-        packed = (prim << tid_bits) | tid_c
-        if C < W:
-            # Smallest C of W via top_k on the negation (top_k returns
-            # descending, so negating twice yields ascending packed
-            # keys) — cheaper than a full-width row sort.
-            vals, _ = jax.lax.top_k(-packed, C)
-            s_packed = -vals
-        else:
-            s_packed = jnp.sort(packed, axis=-1)[:, :C]
-        s_prim_c = s_packed >> tid_bits
-        tbl_mask = s_prim_c < big
-        tbl_tid = jnp.where(tbl_mask, s_packed & ((1 << tid_bits) - 1), 0)
-        tbl_score = jnp.where(tbl_mask, (W + 1) - s_prim_c, 0)
-    else:
-        s_prim, s_tid, s_score = jax.lax.sort((prim, tid, score), num_keys=2)
-        tbl_mask = s_prim[:, :C] < big
-        tbl_tid = jnp.where(tbl_mask, s_tid[:, :C], 0)
-        tbl_score = jnp.where(tbl_mask, s_score[:, :C], 0)
+    # Top-C by (score desc, tid asc): one more row sort (scores count
+    # window lanes, so W bounds them).
+    return _top_c_select(
+        meets,
+        tid,
+        score,
+        score_bound=W,
+        candidate_capacity=C,
+        num_transcripts=num_transcripts,
+    )
 
-    n_cand = jnp.sum(meets.astype(jnp.int32), axis=1)
-    stats = {"candidate_spilled": jnp.sum(jnp.maximum(n_cand - C, 0))}
-    return MatchResult(tid=tbl_tid, score=tbl_score, mask=tbl_mask, stats=stats)
+
+def group_parts_per_k(
+    parts: Sequence[jnp.ndarray],
+    *,
+    chain_fraction: float,
+    candidate_capacity: int,
+    num_transcripts: int = 0,
+) -> MatchResult:
+    """Group K > 1 per-k event windows via per-k K=1 grouping + table
+    intersection (combine_k_tables).
+
+    parts: per-k [B, w] PURE-TID event keys (expansion with k_index=0,
+    num_k=1).  Each part groups with the cheap K=1 branch into a per-k
+    top-Ck table (Ck = min(2*C, w): a window of w lanes holds at most w
+    distinct tids, and 2*C headroom keeps pre-intersection truncation
+    out of range of the final C); the tables then intersect with score
+    addition.  Replaces the K-wide event grouping whose K-coupling
+    measured +6.1 ms/batch at GENCODE {21,31}
+    (scripts/profile_multik_stages.py).
+    """
+    res_ks = [
+        row_events_to_candidates(
+            p,
+            num_k=1,
+            chain_fraction=chain_fraction,
+            candidate_capacity=min(2 * candidate_capacity, _next_pow2(p.shape[1])),
+            num_transcripts=num_transcripts,
+        )
+        for p in parts
+    ]
+    res = combine_k_tables(
+        [r.tid for r in res_ks],
+        [r.score for r in res_ks],
+        [r.mask for r in res_ks],
+        candidate_capacity=candidate_capacity,
+        score_bound=sum(p.shape[1] for p in parts),
+        num_transcripts=num_transcripts,
+    )
+    res.stats["candidate_spilled"] = res.stats["candidate_spilled"] + sum(
+        r.stats["candidate_spilled"] for r in res_ks
+    )
+    return res
+
+
+def _group_tier_parts(
+    parts: Sequence[jnp.ndarray],
+    *,
+    num_k: int,
+    chain_fraction: float,
+    candidate_capacity: int,
+    num_transcripts: int = 0,
+) -> MatchResult:
+    """Dispatch: K=1 -> direct grouping; K>1 -> per-k + intersection."""
+    if num_k == 1:
+        return row_events_to_candidates(
+            parts[0],
+            num_k=1,
+            chain_fraction=chain_fraction,
+            candidate_capacity=candidate_capacity,
+            num_transcripts=num_transcripts,
+        )
+    return group_parts_per_k(
+        parts,
+        chain_fraction=chain_fraction,
+        candidate_capacity=candidate_capacity,
+        num_transcripts=num_transcripts,
+    )
 
 
 # Sixteenths of the batch per tier (rows sorted ascending by event
@@ -403,6 +607,77 @@ def calibrate_tier_widths(
     return tuple(widths)
 
 
+def tier_rows(B: int) -> Tuple[int, ...]:
+    """The fixed TIER_FRACS16 row partition (no width-based merging —
+    used by the per-k width mode, where merges would differ per k)."""
+    rows = [(B * f) // 16 for f in TIER_FRACS16[:-1]]
+    rows.append(B - sum(rows))
+    return tuple(rows)
+
+
+def calibrate_tier_widths_per_k(
+    totals_by_rank: "np.ndarray",
+    events_per_read: int,
+    margin: float = 1.5,
+) -> Tuple[Tuple[int, ...], ...]:
+    """Per-k tier windows (INCLUDING the tail) from a sample batch.
+
+    totals_by_rank: [K, n] per-k posting-event totals with columns
+    ordered by the SHARED ascending max-over-k key — the same key the
+    tier permutation sorts by — so each tier's rank range is exactly the
+    rows that land in it.  Each (k, tier) window covers the MAX per-k
+    total in the range with margin (max, not the boundary quantile: the
+    per-k totals are not monotone along the shared order).
+
+    Why per-k: the shared-width calibration sizes every k's window to
+    the max over ks, so one ambiguous k (k=21 at GENCODE) inflates every
+    other k's expansion lanes — measured at +6.1 ms/batch for {21,31}
+    (scripts/profile_multik_stages.py, round 5).  A calibrated tail
+    below events_per_read can under-cover on calibration drift; callers
+    count those drops as pretail spills (exact flat rerun at the full
+    budget).
+    """
+    K, n = totals_by_rank.shape
+    out = []
+    for ki in range(K):
+        t = totals_by_rank[ki]
+        widths: List[int] = []
+        cum = 0
+        floor = 8
+        for f in TIER_FRACS16[:-1]:
+            lo = (n * cum) // 16
+            cum += f
+            hi = max((n * cum) // 16, lo + 1)
+            q = int(t[lo:hi].max()) if n else 0
+            w = min(max(pow2ceil(int(q * margin)), floor), events_per_read)
+            widths.append(w)
+            floor = w
+        # The tail tier keeps the FULL per-read budget: a calibrated
+        # tail below it turns every rare heavy read outside the sample
+        # batch into a pretail spill -> whole-dataset flat rerun
+        # (measured: the GENCODE multi-k 9-event outlier cost a 4x
+        # slowdown that way).  Tail drops then mean the budget itself is
+        # too small, which the expansion-doubling retry handles.
+        widths.append(events_per_read)
+        out.append(tuple(widths))
+    return tuple(out)
+
+
+def _is_per_k_widths(tier_widths) -> bool:
+    return bool(tier_widths) and isinstance(tier_widths[0], (tuple, list))
+
+
+def shared_tier_widths(tier_widths):
+    """Collapse per-k widths (incl. tail) to the shared no-tail form
+    (max over ks per tier) for consumers that require equal per-k
+    windows: the sharded engines (shard-merged event grouping) and any
+    flat-tuple API."""
+    if not _is_per_k_widths(tier_widths):
+        return tier_widths
+    n = len(tier_widths[0])
+    return tuple(max(w[t] for w in tier_widths) for t in range(n - 1))
+
+
 def row_match_runs_tiered(
     starts: Sequence[jnp.ndarray],
     lens: Sequence[jnp.ndarray],
@@ -432,9 +707,21 @@ def row_match_runs_tiered(
     B = starts[0].shape[0]
     K = num_k
     C = candidate_capacity
-    plan = tier_plan(B, events_per_read, tier_widths)
+    per_k = _is_per_k_widths(tier_widths)
+    if per_k and B >= 1024:
+        # Per-k calibrated windows (incl. tail): fixed row partition,
+        # width per (tier, k).  plan carries rows only; widths resolve
+        # inside the loop.
+        plan = tuple((r, None) for r in tier_rows(B))
+    else:
+        if per_k:
+            tier_widths = (8, 16, 64)  # tiny batch: shared defaults
+            per_k = False
+        plan = tier_plan(B, events_per_read, tier_widths)
 
     if len(plan) == 1:
+        # Expansion emits PURE-TID keys (k_index=0, num_k=1): K=1 needs
+        # no packing, and K>1 groups per k + intersects (_group_tier_parts).
         parts, drops = [], []
         for ki in range(K):
             key, d = row_expand_from_runs(
@@ -442,13 +729,13 @@ def row_match_runs_tiered(
                 lens[ki],
                 postings[ki],
                 events_per_read=events_per_read,
-                k_index=ki,
-                num_k=K,
+                k_index=0,
+                num_k=1,
             )
             parts.append(key)
             drops.append(d)
-        result = row_events_to_candidates(
-            parts if K > 1 else parts[0],
+        result = _group_tier_parts(
+            parts,
             num_k=K,
             chain_fraction=chain_fraction,
             candidate_capacity=C,
@@ -474,17 +761,21 @@ def row_match_runs_tiered(
     for t_i, (rows, w) in enumerate(plan):
         parts = []
         for ki in range(K):
+            w_k = tier_widths[ki][t_i] if per_k else w
             s_t = jax.lax.slice_in_dim(starts_p[ki], row0, row0 + rows, axis=0)
             l_t = jax.lax.slice_in_dim(lens_p[ki], row0, row0 + rows, axis=0)
             key, d = row_expand_from_runs(
-                s_t, l_t, postings[ki], events_per_read=w, k_index=ki, num_k=K
+                s_t, l_t, postings[ki], events_per_read=w_k, k_index=0, num_k=1
             )
             parts.append(key)
             drops[ki] = drops[ki] + d
-            if t_i < len(plan) - 1:
+            if t_i < len(plan) - 1 or w_k < events_per_read:
+                # Non-tail drops, or tail drops under a CALIBRATED tail
+                # narrower than the full budget: a flat full-budget
+                # window would have kept these -> exact flat rerun.
                 pretail = pretail + d
-        res = row_events_to_candidates(
-            parts if K > 1 else parts[0],
+        res = _group_tier_parts(
+            parts,
             num_k=K,
             chain_fraction=chain_fraction,
             candidate_capacity=C,
@@ -538,13 +829,13 @@ def row_match(
             index_row_ptr[ki],
             index_postings[ki],
             events_per_read=events_per_read,
-            k_index=ki,
-            num_k=K,
+            k_index=0,
+            num_k=1,
         )
         parts.append(key)
         drops.append(d)
-    result = row_events_to_candidates(
-        parts if K > 1 else parts[0],
+    result = _group_tier_parts(
+        parts,
         num_k=K,
         chain_fraction=chain_fraction,
         candidate_capacity=candidate_capacity,

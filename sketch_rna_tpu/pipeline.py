@@ -44,6 +44,7 @@ from sketch_rna_tpu.match.bucket_lookup import (
     build_bucket_table_device,
 )
 from sketch_rna_tpu.match.rowmatch import (
+    _group_tier_parts,
     calibrate_tier_widths,
     row_events_to_candidates,
     row_expand_from_runs,
@@ -153,24 +154,53 @@ def _event_totals_sorted(
     sketch_caps,
     bucket_meta,
 ):
-    """Calibration sample (sketch + probe only, no expansion): per-read
-    max-per-k posting-event totals, ascending, concatenated with the
-    per-read max-per-k kept-hash counts, ascending.  The first sizes the
-    tiered EXPANSION windows; the second sizes the tiered PROBE width
-    (sketch_match_step probe_width)."""
+    """Calibration sample (sketch + probe only, no expansion), one flat
+    vector of (K + 1) * B entries:
+
+      [0 .. K*B):   PER-K posting-event totals, columns ordered by the
+                    ascending max-over-k key (the tier permutation's
+                    sort key) — sizes the per-k EXPANSION windows
+                    (rowmatch.calibrate_tier_widths_per_k); for K=1
+                    this is simply the ascending totals.
+      [K*B .. end): per-read max-per-k kept-hash counts, ascending —
+                    sizes the tiered PROBE width."""
     sketches = sketch_all_k(
         codes, lengths, kmer_lengths, sketch_fraction, sketch_caps
     )
+    per_k = []
     tk = None
     nk = None
     for ki, (h, m, _) in enumerate(sketches):
         shift, mb = bucket_meta[ki]
         _start, length = bucket_lookup(h, m, index_packed[ki], shift=shift, mb=mb)
         t = jnp.sum(length, axis=1)
+        per_k.append(t)
         tk = t if tk is None else jnp.maximum(tk, t)
         n = jnp.sum(m.astype(jnp.int32), axis=1)
         nk = n if nk is None else jnp.maximum(nk, n)
-    return jnp.concatenate([jnp.sort(tk), jnp.sort(nk)])
+    order = jnp.argsort(tk)
+    return jnp.concatenate([t[order] for t in per_k] + [jnp.sort(nk)])
+
+
+def _widths_from_sample(sample: np.ndarray, K: int, config):
+    """Split a _event_totals_sorted vector into calibrated expansion
+    widths + the probe-count sample.  K=1 keeps the shared-width
+    calibration (identical behavior/shapes to previous rounds); K>1
+    calibrates per-k windows including the tail
+    (rowmatch.calibrate_tier_widths_per_k)."""
+    from sketch_rna_tpu.match.rowmatch import calibrate_tier_widths_per_k
+
+    B = len(sample) // (K + 1)
+    sc = sample[K * B :]
+    if K == 1:
+        widths = calibrate_tier_widths(
+            sample[:B], config.batch_size, config.expand_per_read
+        )
+    else:
+        widths = calibrate_tier_widths_per_k(
+            sample[: K * B].reshape(K, B), config.expand_per_read
+        )
+    return widths, sc
 
 
 def _probe_width_from(sorted_counts: np.ndarray, caps, margin: float = 1.25):
@@ -225,19 +255,14 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
             bucket_meta=bucket_meta,
         )
     )
-    st, sc = sample[: len(sample) // 2], sample[len(sample) // 2 :]
-    widths = calibrate_tier_widths(st, config.batch_size, config.expand_per_read)
+    widths, sc = _widths_from_sample(sample, len(ks), config)
     probe_w = _probe_width_from(sc, caps)
     result = (widths, probe_w)
     if cache is None:
         cache = {}
         object.__setattr__(packed, "_tier_width_cache", cache)
     cache[ck] = result
-    log.info(
-        "calibrated tier widths %s probe width %s (sample q75=%d q94=%d)",
-        widths, probe_w,
-        st[(len(st) * 12) // 16 - 1], st[(len(st) * 15) // 16 - 1],
-    )
+    log.info("calibrated tier widths %s probe width %s", widths, probe_w)
     return result
 
 
@@ -392,13 +417,13 @@ def sketch_match_step(
                 lens[ki],
                 index_postings[ki],
                 events_per_read=expand_per_read,
-                k_index=ki,
-                num_k=K,
+                k_index=0,
+                num_k=1,
             )
             parts.append(key)
             drops.append(d)
-        result = row_events_to_candidates(
-            parts if K > 1 else parts[0],
+        result = _group_tier_parts(
+            parts,
             num_k=K,
             chain_fraction=chain_fraction,
             candidate_capacity=candidate_capacity,
@@ -968,12 +993,19 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
             else:
                 rows_probed = B * cap
             sizes["probe_bytes"] += nb_b * rows_probed * 3 * mb * 4
-        plan = (
-            tier_plan(B, config.expand_per_read, widths)
-            if config.match_tiers
-            else ((B, config.expand_per_read),)
-        )
-        sizes["group_lanes"] += nb_b * sum(r * w for r, w in plan) * K
+        from sketch_rna_tpu.match.rowmatch import _is_per_k_widths, tier_rows
+
+        if config.match_tiers and _is_per_k_widths(widths) and B >= 1024:
+            lanes = sum(
+                r * sum(wk[t] for wk in widths)
+                for t, r in enumerate(tier_rows(B))
+            )
+        elif config.match_tiers:
+            plan = tier_plan(B, config.expand_per_read, widths)
+            lanes = sum(r * w for r, w in plan) * K
+        else:
+            lanes = B * config.expand_per_read * K
+        sizes["group_lanes"] += nb_b * lanes
     if len(tbl_parts) == 1:
         tbl_tid, tbl_score = tbl_parts[0]
     else:
@@ -1389,6 +1421,13 @@ def quantify_sharded(
     widths, _probe_w = _tier_widths_for(
         index, packed, config, bpacked, bucket_meta, caps, ks, L
     )
+    # The sharded engine groups shard-merged event windows (counts for
+    # one (read, tid, k) spread across hash-range shards), so per-k
+    # tables can't pre-group there: collapse per-k calibration to the
+    # shared max-over-k form.
+    from sketch_rna_tpu.match.rowmatch import shared_tier_widths
+
+    widths = shared_tier_widths(widths)
     return _sharded_stream_core(
         index, config, mesh, codes_all, lengths_all, R, widths, nb
     )

@@ -108,8 +108,11 @@ def _tier_widths_dev(
     1024 real reads the sample rows are mostly zero-length padding and
     would calibrate skewed-small widths, so return the defaults
     (matching pipeline._tier_widths_for's guard)."""
-    from sketch_rna_tpu.match.rowmatch import calibrate_tier_widths
-    from sketch_rna_tpu.pipeline import _event_totals_sorted, _probe_width_from
+    from sketch_rna_tpu.pipeline import (
+        _event_totals_sorted,
+        _probe_width_from,
+        _widths_from_sample,
+    )
 
     default = ((8, 16, 64), None)
     B = codes_dev.shape[0]
@@ -129,8 +132,7 @@ def _tier_widths_dev(
             bucket_meta=bucket_meta,
         )
     )
-    st, sc = sample[: len(sample) // 2], sample[len(sample) // 2 :]
-    widths = calibrate_tier_widths(st, B, config.expand_per_read)
+    widths, sc = _widths_from_sample(sample, len(ks), config)
     probe_w = _probe_width_from(sc, caps)
     log.info("calibrated tier widths %s probe width %s", widths, probe_w)
     return widths, probe_w
@@ -563,6 +565,55 @@ def quantify_streamed(
     config = config or QuantConfig(kmer_lengths=tuple(index.kmer_lengths))
     timer = PhaseTimer()
     ks = tuple(index.kmer_lengths)
+    B = config.batch_size
+    C = config.candidate_capacity
+
+    def _feed_plan():
+        """(known_R, m_cap, eff_chunk) — deterministic host arithmetic.
+
+        Resolving known_R may JOIN a LazyScanFeed's background record
+        scan, so this is called lazily (from the prefetch worker and
+        after index_prep) rather than up front: the scan then overlaps
+        the index upload instead of serializing before it.
+        """
+        if isinstance(reads, PackedReads):
+            known_R = reads.num_reads
+        elif num_reads_hint is not None:
+            known_R = num_reads_hint
+        elif hasattr(reads, "num_reads"):
+            known_R = reads.num_reads
+        else:
+            known_R = None
+        m_cap = max(config.stream_class_capacity, 2 * B)
+        if known_R is not None:
+            # Known row count: the buffer never needs many more rows
+            # than reads.  +1024 headroom covers the extra classes chunk
+            # padding rows can form (an all-zero profile per partial
+            # chunk).
+            m_cap = min(
+                m_cap, max(((known_R + 1023) // 1024) * 1024 + 1024, 2 * B)
+            )
+        eff_chunk = min(config.stream_chunk_reads, (m_cap // B) * B)
+        if config.stream_drain:
+            eff_chunk = min(eff_chunk, max(((m_cap - B) // B) * B, B))
+        return known_R, m_cap, eff_chunk
+
+    # Prefetch the feed's first chunk on a worker: the host-side record
+    # scan + first pack overlap the index upload below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _prefetch_state = {}
+
+    def _prefetch_first():
+        _, _, eff_chunk = _feed_plan()
+        it = _chunks_of(reads, eff_chunk)
+        _prefetch_state["iter"] = it
+        return next(it, None)
+
+    _prefetch_ex = ThreadPoolExecutor(max_workers=1)
+    first_fut = _prefetch_ex.submit(_prefetch_first)
+    _prefetch_ex.shutdown(wait=False)
+
     with timer.phase("index_prep"):
         bpacked, postings, bucket_meta = _device_index(index, ks)
         # Settle the index upload with a tiny DEPENDENT fetch per array:
@@ -574,17 +625,7 @@ def quantify_streamed(
         # before the chunk feed starts queuing behind them.
         for p in (*bpacked, *postings):
             np.asarray(p[(0,) * p.ndim])
-    B = config.batch_size
-    C = config.candidate_capacity
-    m_cap = max(config.stream_class_capacity, 2 * B)
-    known_R = (
-        reads.num_reads if isinstance(reads, PackedReads) else num_reads_hint
-    )
-    if known_R is not None:
-        # Known row count: the buffer never needs many more rows than
-        # reads.  +1024 headroom covers the extra classes chunk padding
-        # rows can form (an all-zero profile per partial chunk).
-        m_cap = min(m_cap, max(((known_R + 1023) // 1024) * 1024 + 1024, 2 * B))
+    known_R, m_cap, eff_chunk = _feed_plan()
     T = index.num_transcripts
 
     # Dual-buffer layout (stream_narrow_width > 0 and < C): the big
@@ -614,16 +655,19 @@ def quantify_streamed(
     stats_parts = []
     widths = None
     probe_w = None
-    # With draining, cap the super-chunk so a single chunk's raw rows
-    # always fit the buffer next to one in-flight batch: after a drain
-    # the in-scan append can then never drop, making the streaming path
-    # exact for ANY capacity >= 2*B.
-    # A chunk's pre-deduped block has nbc*B rows and must fit the buffer
-    # whole (the fast-path append is whole-block), so cap the super-chunk
-    # by m_cap.
-    eff_chunk = min(config.stream_chunk_reads, (m_cap // B) * B)
-    if config.stream_drain:
-        eff_chunk = min(eff_chunk, max(((m_cap - B) // B) * B, B))
+    # eff_chunk (computed in _feed_plan): with draining, the super-chunk
+    # is capped so a single chunk's raw rows always fit the buffer next
+    # to one in-flight batch — after a drain the in-scan append can then
+    # never drop, making the streaming path exact for ANY capacity
+    # >= 2*B.  A chunk's pre-deduped block has nbc*B rows and must fit
+    # the buffer whole (the fast-path append is whole-block).
+
+    def _feed_chunks():
+        c = first_fut.result()
+        it = _prefetch_state.get("iter")
+        while c is not None:
+            yield c
+            c = next(it, None) if it is not None else None
 
     def _host_rows(chunk, cap_c):
         """Host-side [cap_c, lane] codes + [cap_c] lengths for a chunk,
@@ -702,7 +746,7 @@ def quantify_streamed(
     # of chunk c+1 overlaps too (chunks_from_scan2's background
     # thread).
     with timer.phase("stream_match"):
-        for chunk in _chunks_of(reads, eff_chunk):
+        for chunk in _feed_chunks():
             n = chunk.num_reads
             if n == 0:
                 continue
