@@ -46,6 +46,12 @@ class QuantConfig:
     # isoform-family data genuinely need >128 (measured: 128 drops events
     # on the bench transcriptome); overflow is counted, never silent.
     expand_per_read: int = 256
+    # Optional PER-K expansion budgets (len == len(kmer_lengths)),
+    # overriding expand_per_read per k.  Set by the expansion-overflow
+    # retry so only the k that actually dropped events pays a doubled
+    # window (at GENCODE {21,31} one ambiguous k otherwise doubles every
+    # k's tail tier).  None = expand_per_read for every k.
+    expand_per_read_k: "Optional[Tuple[int, ...]]" = None
     # Max candidate transcripts retained per read after thresholding
     # (reference keeps all; overflow keeps top-score and is counted).
     candidate_capacity: int = 64

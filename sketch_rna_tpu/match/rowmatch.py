@@ -616,55 +616,46 @@ def tier_rows(B: int) -> Tuple[int, ...]:
 
 
 def calibrate_tier_widths_per_k(
-    totals_by_rank: "np.ndarray",
+    totals_sorted_per_k: "np.ndarray",
+    B: int,
     events_per_read: int,
     margin: float = 1.5,
 ) -> Tuple[Tuple[int, ...], ...]:
-    """Per-k tier windows (INCLUDING the tail) from a sample batch.
+    """Per-k tier windows from a sample batch.
 
-    totals_by_rank: [K, n] per-k posting-event totals with columns
-    ordered by the SHARED ascending max-over-k key — the same key the
-    tier permutation sorts by — so each tier's rank range is exactly the
-    rows that land in it.  Each (k, tier) window covers the MAX per-k
-    total in the range with margin (max, not the boundary quantile: the
-    per-k totals are not monotone along the shared order).
+    totals_sorted_per_k: [K, n] per-k posting-event totals, EACH ROW
+    independently ascending (each k's tier pipeline sorts batch rows by
+    its OWN totals, so its rank quantiles calibrate exactly like a
+    single-k run).
 
     Why per-k: the shared-width calibration sizes every k's window to
     the max over ks, so one ambiguous k (k=21 at GENCODE) inflates every
-    other k's expansion lanes — measured at +6.1 ms/batch for {21,31}
-    (scripts/profile_multik_stages.py, round 5).  A calibrated tail
-    below events_per_read can under-cover on calibration drift; callers
-    count those drops as pretail spills (exact flat rerun at the full
-    budget).
+    other k's expansion lanes — measured at +6.1 ms/batch for {21,31},
+    and a shared-permutation variant couldn't shrink them (max-in-range
+    over the shared order reproduced the max-over-k widths;
+    scripts/profile_match_ablate.py round 5).  The tail tier keeps the
+    FULL per-read budget: a calibrated tail turns every rare heavy read
+    outside the sample batch into a pretail spill -> whole-dataset flat
+    rerun (measured 4x slowdown); tail drops instead mean the budget
+    itself is too small, which the expansion-doubling retry handles.
     """
-    K, n = totals_by_rank.shape
-    out = []
-    for ki in range(K):
-        t = totals_by_rank[ki]
-        widths: List[int] = []
-        cum = 0
-        floor = 8
-        for f in TIER_FRACS16[:-1]:
-            lo = (n * cum) // 16
-            cum += f
-            hi = max((n * cum) // 16, lo + 1)
-            q = int(t[lo:hi].max()) if n else 0
-            w = min(max(pow2ceil(int(q * margin)), floor), events_per_read)
-            widths.append(w)
-            floor = w
-        # The tail tier keeps the FULL per-read budget: a calibrated
-        # tail below it turns every rare heavy read outside the sample
-        # batch into a pretail spill -> whole-dataset flat rerun
-        # (measured: the GENCODE multi-k 9-event outlier cost a 4x
-        # slowdown that way).  Tail drops then mean the budget itself is
-        # too small, which the expansion-doubling retry handles.
-        widths.append(events_per_read)
-        out.append(tuple(widths))
-    return tuple(out)
+    eprs = _epr_per_k(events_per_read, totals_sorted_per_k.shape[0])
+    return tuple(
+        calibrate_tier_widths(totals_sorted_per_k[ki], B, eprs[ki], margin)
+        + (eprs[ki],)
+        for ki in range(totals_sorted_per_k.shape[0])
+    )
 
 
 def _is_per_k_widths(tier_widths) -> bool:
     return bool(tier_widths) and isinstance(tier_widths[0], (tuple, list))
+
+
+def _epr_per_k(events_per_read, K: int) -> Tuple[int, ...]:
+    """Normalize an int-or-per-k expansion budget to a K-tuple."""
+    if isinstance(events_per_read, (tuple, list)):
+        return tuple(events_per_read)
+    return (events_per_read,) * K
 
 
 def shared_tier_widths(tier_widths):
@@ -676,6 +667,98 @@ def shared_tier_widths(tier_widths):
         return tier_widths
     n = len(tier_widths[0])
     return tuple(max(w[t] for w in tier_widths) for t in range(n - 1))
+
+
+def _row_match_per_k_tiered(
+    starts: Sequence[jnp.ndarray],
+    lens: Sequence[jnp.ndarray],
+    postings: Sequence[jnp.ndarray],
+    *,
+    num_k: int,
+    events_per_read: int,
+    chain_fraction: float,
+    candidate_capacity: int,
+    num_transcripts: int,
+    tier_widths: Tuple[Tuple[int, ...], ...],
+) -> Tuple[MatchResult, jnp.ndarray]:
+    """K > 1 tiered match as K INDEPENDENT single-k pipelines + one
+    table intersection.
+
+    Each k sorts batch rows by its OWN event totals, expands with its
+    OWN calibrated tier windows, and groups with the cheap K=1 branch
+    into a [B, Ck] top-candidate table; the per-k permutations then
+    invert on those small tables (K gathers) and combine_k_tables
+    intersects them in original row order.  This makes per-k work
+    genuinely linear in K — a shared permutation provably can't (its
+    rank ranges mix the ks, so every window re-inflates to the
+    max-over-k; scripts/profile_match_ablate.py round 5).
+
+    Returns (result IN ORIGINAL ROW ORDER, identity perm).
+    """
+    B = starts[0].shape[0]
+    K = num_k
+    C = candidate_capacity
+    eprs = _epr_per_k(events_per_read, K)
+    Ck = min(2 * C, _next_pow2(max(eprs)))
+    tbl_t, tbl_s, tbl_m = [], [], []
+    drops = []
+    pretail = jnp.zeros((), jnp.int32)
+    spilled = jnp.zeros((), jnp.int32)
+    for ki in range(K):
+        plan = tier_plan(B, eprs[ki], tier_widths[ki])
+        totals = jnp.sum(lens[ki], axis=1)
+        perm_k = jnp.argsort(totals).astype(jnp.int32)
+        s_p = jnp.take(starts[ki], perm_k, axis=0)
+        l_p = jnp.take(lens[ki], perm_k, axis=0)
+        row0 = 0
+        dk = jnp.zeros((), jnp.int32)
+        tp, sp_, mp = [], [], []
+        for t_i, (rows, w) in enumerate(plan):
+            s_t = jax.lax.slice_in_dim(s_p, row0, row0 + rows, axis=0)
+            l_t = jax.lax.slice_in_dim(l_p, row0, row0 + rows, axis=0)
+            key, d = row_expand_from_runs(
+                s_t, l_t, postings[ki], events_per_read=w, k_index=0, num_k=1
+            )
+            dk = dk + d
+            if t_i < len(plan) - 1:
+                pretail = pretail + d
+            res = row_events_to_candidates(
+                key,
+                num_k=1,
+                chain_fraction=chain_fraction,
+                candidate_capacity=min(Ck, _next_pow2(w)),
+                num_transcripts=num_transcripts,
+            )
+            t, s, m = res.tid, res.score, res.mask
+            if t.shape[1] < Ck:
+                padw = Ck - t.shape[1]
+                t = jnp.pad(t, ((0, 0), (0, padw)))
+                s = jnp.pad(s, ((0, 0), (0, padw)))
+                m = jnp.pad(m, ((0, 0), (0, padw)))
+            tp.append(t)
+            sp_.append(s)
+            mp.append(m)
+            spilled = spilled + res.stats["candidate_spilled"]
+            row0 += rows
+        inv = jnp.argsort(perm_k).astype(jnp.int32)
+        tbl_t.append(jnp.take(jnp.concatenate(tp), inv, axis=0))
+        tbl_s.append(jnp.take(jnp.concatenate(sp_), inv, axis=0))
+        tbl_m.append(jnp.take(jnp.concatenate(mp), inv, axis=0))
+        drops.append(dk)
+    result = combine_k_tables(
+        tbl_t,
+        tbl_s,
+        tbl_m,
+        candidate_capacity=C,
+        score_bound=sum(eprs),
+        num_transcripts=num_transcripts,
+    )
+    result.stats["candidate_spilled"] = (
+        result.stats["candidate_spilled"] + spilled
+    )
+    result.stats["expand_dropped"] = jnp.stack(drops)
+    result.stats["expand_dropped_pretail"] = pretail
+    return result, jnp.arange(B, dtype=jnp.int32)
 
 
 def row_match_runs_tiered(
@@ -708,16 +791,23 @@ def row_match_runs_tiered(
     K = num_k
     C = candidate_capacity
     per_k = _is_per_k_widths(tier_widths)
-    if per_k and B >= 1024:
-        # Per-k calibrated windows (incl. tail): fixed row partition,
-        # width per (tier, k).  plan carries rows only; widths resolve
-        # inside the loop.
-        plan = tuple((r, None) for r in tier_rows(B))
-    else:
-        if per_k:
-            tier_widths = (8, 16, 64)  # tiny batch: shared defaults
-            per_k = False
-        plan = tier_plan(B, events_per_read, tier_widths)
+    if per_k and B >= 1024 and K > 1:
+        return _row_match_per_k_tiered(
+            starts,
+            lens,
+            postings,
+            num_k=K,
+            events_per_read=events_per_read,
+            chain_fraction=chain_fraction,
+            candidate_capacity=C,
+            num_transcripts=num_transcripts,
+            tier_widths=tier_widths,
+        )
+    if per_k:
+        tier_widths = shared_tier_widths(tier_widths)
+    eprs = _epr_per_k(events_per_read, K)
+    events_per_read = max(eprs)
+    plan = tier_plan(B, events_per_read, tier_widths)
 
     if len(plan) == 1:
         # Expansion emits PURE-TID keys (k_index=0, num_k=1): K=1 needs
@@ -728,7 +818,7 @@ def row_match_runs_tiered(
                 starts[ki],
                 lens[ki],
                 postings[ki],
-                events_per_read=events_per_read,
+                events_per_read=eprs[ki],
                 k_index=0,
                 num_k=1,
             )
@@ -761,18 +851,14 @@ def row_match_runs_tiered(
     for t_i, (rows, w) in enumerate(plan):
         parts = []
         for ki in range(K):
-            w_k = tier_widths[ki][t_i] if per_k else w
             s_t = jax.lax.slice_in_dim(starts_p[ki], row0, row0 + rows, axis=0)
             l_t = jax.lax.slice_in_dim(lens_p[ki], row0, row0 + rows, axis=0)
             key, d = row_expand_from_runs(
-                s_t, l_t, postings[ki], events_per_read=w_k, k_index=0, num_k=1
+                s_t, l_t, postings[ki], events_per_read=w, k_index=0, num_k=1
             )
             parts.append(key)
             drops[ki] = drops[ki] + d
-            if t_i < len(plan) - 1 or w_k < events_per_read:
-                # Non-tail drops, or tail drops under a CALIBRATED tail
-                # narrower than the full budget: a flat full-budget
-                # window would have kept these -> exact flat rerun.
+            if t_i < len(plan) - 1:
                 pretail = pretail + d
         res = _group_tier_parts(
             parts,
@@ -820,6 +906,7 @@ def row_match(
 ) -> MatchResult:
     """Full row-parallel match against a local (replicated) index."""
     K = len(sketch_hashes)
+    eprs = _epr_per_k(events_per_read, K)
     parts, drops = [], []
     for ki in range(K):
         key, d = row_expand_events(
@@ -828,7 +915,7 @@ def row_match(
             index_keys[ki],
             index_row_ptr[ki],
             index_postings[ki],
-            events_per_read=events_per_read,
+            events_per_read=eprs[ki],
             k_index=0,
             num_k=1,
         )

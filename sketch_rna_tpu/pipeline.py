@@ -157,11 +157,11 @@ def _event_totals_sorted(
     """Calibration sample (sketch + probe only, no expansion), one flat
     vector of (K + 1) * B entries:
 
-      [0 .. K*B):   PER-K posting-event totals, columns ordered by the
-                    ascending max-over-k key (the tier permutation's
-                    sort key) — sizes the per-k EXPANSION windows
-                    (rowmatch.calibrate_tier_widths_per_k); for K=1
-                    this is simply the ascending totals.
+      [0 .. K*B):   PER-K posting-event totals, EACH k's block
+                    independently ascending — each k's tier pipeline
+                    sorts rows by its own totals, so its windows
+                    calibrate from its own rank quantiles
+                    (rowmatch.calibrate_tier_widths_per_k).
       [K*B .. end): per-read max-per-k kept-hash counts, ascending —
                     sizes the tiered PROBE width."""
     sketches = sketch_all_k(
@@ -178,8 +178,7 @@ def _event_totals_sorted(
         tk = t if tk is None else jnp.maximum(tk, t)
         n = jnp.sum(m.astype(jnp.int32), axis=1)
         nk = n if nk is None else jnp.maximum(nk, n)
-    order = jnp.argsort(tk)
-    return jnp.concatenate([t[order] for t in per_k] + [jnp.sort(nk)])
+    return jnp.concatenate([jnp.sort(t) for t in per_k] + [jnp.sort(nk)])
 
 
 def _widths_from_sample(sample: np.ndarray, K: int, config):
@@ -198,7 +197,9 @@ def _widths_from_sample(sample: np.ndarray, K: int, config):
         )
     else:
         widths = calibrate_tier_widths_per_k(
-            sample[: K * B].reshape(K, B), config.expand_per_read
+            sample[: K * B].reshape(K, B),
+            config.batch_size,
+            config.expand_per_read_k or config.expand_per_read,
         )
     return widths, sc
 
@@ -238,7 +239,14 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
     n = min(config.batch_size, packed.num_reads)
     if n < 1024:
         return default
-    ck = (id(index), L, tuple(ks), config.expand_per_read, config.batch_size)
+    ck = (
+        id(index),
+        L,
+        tuple(ks),
+        config.expand_per_read,
+        config.expand_per_read_k,
+        config.batch_size,
+    )
     cache = getattr(packed, "_tier_width_cache", None)
     if cache is not None and ck in cache:
         return cache[ck]
@@ -618,7 +626,7 @@ def collect_pairs(
             sketch_fraction=config.sketch_fraction,
             sketch_caps=caps,
             chain_fraction=config.chain_fraction,
-            expand_per_read=config.expand_per_read,
+            expand_per_read=config.expand_per_read_k or config.expand_per_read,
             candidate_capacity=config.candidate_capacity,
             bucket_meta=bucket_meta,
             match_tiers=config.match_tiers,
@@ -957,7 +965,7 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
                 sketch_fraction=config.sketch_fraction,
                 sketch_caps=caps,
                 chain_fraction=config.chain_fraction,
-                expand_per_read=config.expand_per_read,
+                expand_per_read=config.expand_per_read_k or config.expand_per_read,
                 candidate_capacity=config.candidate_capacity,
                 bucket_meta=bucket_meta,
                 num_transcripts=index.num_transcripts,
@@ -993,12 +1001,13 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
             else:
                 rows_probed = B * cap
             sizes["probe_bytes"] += nb_b * rows_probed * 3 * mb * 4
-        from sketch_rna_tpu.match.rowmatch import _is_per_k_widths, tier_rows
+        from sketch_rna_tpu.match.rowmatch import _is_per_k_widths
 
         if config.match_tiers and _is_per_k_widths(widths) and B >= 1024:
             lanes = sum(
-                r * sum(wk[t] for wk in widths)
-                for t, r in enumerate(tier_rows(B))
+                r * w
+                for wk in widths
+                for r, w in tier_plan(B, config.expand_per_read, wk)
             )
         elif config.match_tiers:
             plan = tier_plan(B, config.expand_per_read, widths)
@@ -1116,6 +1125,18 @@ def _quantify_fused(
 ) -> QuantResult:
     from sketch_rna_tpu.utils.timing import PhaseTimer
 
+    # Per-k expansion budgets discovered by a previous call's overflow
+    # retry are cached on the packed reads (same pattern as the
+    # tier-width cache): repeat quantify calls over the same reads
+    # (bench repeats, multi-sample warm-up) skip the re-discovery pass.
+    _epr_key = (id(index), tuple(index.kmer_lengths), config.expand_per_read)
+    if config.expand_per_read_k is None:
+        _epr_cache = getattr(packed, "_epr_k_cache", None)
+        if _epr_cache and _epr_key in _epr_cache:
+            config = dataclasses.replace(
+                config, expand_per_read_k=_epr_cache[_epr_key]
+            )
+
     timer = PhaseTimer()
     with timer.phase("match_dispatch"):
         tbl_tid, tbl_score, n_cand_max, stats, sizes = _match_tables(
@@ -1147,7 +1168,7 @@ def _quantify_fused(
                         jnp.reshape(n_cand_max, (1,)),
                         jnp.reshape(stats["expand_dropped_pretail"], (1,)),
                         scalars,
-                        jnp.reshape(jnp.sum(stats["expand_dropped"]), (1,)),
+                        jnp.ravel(stats["expand_dropped"]),
                     ]
                 )
             )
@@ -1157,7 +1178,7 @@ def _quantify_fused(
                     [
                         jnp.reshape(n_cand_max, (1,)),
                         jnp.reshape(stats["expand_dropped_pretail"], (1,)),
-                        jnp.reshape(jnp.sum(stats["expand_dropped"]), (1,)),
+                        jnp.ravel(stats["expand_dropped"]),
                     ]
                 )
             )
@@ -1173,23 +1194,41 @@ def _quantify_fused(
         return _quantify_fused(
             index, packed, dataclasses.replace(config, match_tiers=False), nb
         )
-    if int(sync[-1]) > 0 and config.expand_per_read < EXPAND_RETRY_MAX:
+    K_ret = len(index.kmer_lengths)
+    dropped_k = sync[-K_ret:]
+    eprs_now = config.expand_per_read_k or (config.expand_per_read,) * K_ret
+    if any(
+        int(d) > 0 and e < EXPAND_RETRY_MAX
+        for e, d in zip(eprs_now, dropped_k)
+    ):
         # The FULL expansion budget (flat window or tail tier) dropped
         # posting events — the reference never drops any
         # (/root/reference/src/sparse_chaining.cpp:48-73), so rerun with
-        # a doubled per-read window until it covers the dataset (same
+        # a doubled window for the k(s) that actually dropped (same
         # exactness-over-speed pattern as the pretail flat rerun and the
-        # sharded class-overflow rerun).  EXPAND_RETRY_MAX bounds the
+        # sharded class-overflow rerun; per-k so one ambiguous k doesn't
+        # double every k's tail tier).  EXPAND_RETRY_MAX bounds the
         # doubling; past it the drop is warned (final-stats path below).
-        new_epr = min(2 * config.expand_per_read, EXPAND_RETRY_MAX)
-        log.warning(
-            "expansion budget dropped %d events; rerunning with "
-            "expand_per_read=%d",
-            int(sync[-1]),
-            new_epr,
+        new_eprs = tuple(
+            min(2 * e, EXPAND_RETRY_MAX) if int(d) > 0 else e
+            for e, d in zip(eprs_now, dropped_k)
         )
+        log.warning(
+            "expansion budget dropped %s events per k; rerunning with "
+            "expand_per_read_k=%s",
+            dropped_k.tolist(),
+            new_eprs,
+        )
+        _epr_cache = getattr(packed, "_epr_k_cache", None)
+        if _epr_cache is None:
+            _epr_cache = {}
+            object.__setattr__(packed, "_epr_k_cache", _epr_cache)
+        _epr_cache[_epr_key] = new_eprs
         return _quantify_fused(
-            index, packed, dataclasses.replace(config, expand_per_read=new_epr), nb
+            index,
+            packed,
+            dataclasses.replace(config, expand_per_read_k=new_eprs),
+            nb,
         )
 
     # Tables are rank-ordered per read, so narrowing to the max per-read

@@ -77,13 +77,16 @@ def stream_retry_config(config: QuantConfig, stats: dict):
             "dropped %d pretail events -> flat windows"
             % stats["expand_dropped_pretail"],
         )
-    if (
-        stats.get("expand_dropped", 0) > 0
-        and config.expand_per_read < EXPAND_RETRY_MAX
-    ):
-        epr = min(2 * config.expand_per_read, EXPAND_RETRY_MAX)
+    epr_max = max(config.expand_per_read_k or (config.expand_per_read,))
+    if stats.get("expand_dropped", 0) > 0 and epr_max < EXPAND_RETRY_MAX:
+        # Streaming stats sum drops over ks, so the retry doubles the
+        # global budget (the fused engine's early sync keeps per-k drops
+        # and doubles per k instead).
+        epr = min(2 * max(epr_max, config.expand_per_read), EXPAND_RETRY_MAX)
         return (
-            dataclasses.replace(config, expand_per_read=epr),
+            dataclasses.replace(
+                config, expand_per_read=epr, expand_per_read_k=None
+            ),
             "expansion budget dropped %d events -> expand_per_read=%d"
             % (stats["expand_dropped"], epr),
         )
@@ -712,7 +715,7 @@ def quantify_streamed(
             sketch_fraction=config.sketch_fraction,
             sketch_caps=caps,
             chain_fraction=config.chain_fraction,
-            expand_per_read=config.expand_per_read,
+            expand_per_read=config.expand_per_read_k or config.expand_per_read,
             candidate_capacity=C,
             bucket_meta=bucket_meta,
             num_transcripts=T,
