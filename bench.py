@@ -411,10 +411,11 @@ def run_configs_full():
         codes, lengths = sample_reads_device(seqs, 1 << 20, 150, pad, 7)
         return PackedReads(codes, lengths, [])
 
-    ref_csv = "/tmp/refbuild/gencode_out.csv"
-    for name, ks, cachef in (
-        ("c4_gencode_250k_1m_single_k", (31,), "T250000_k31.npz"),
-        ("c4_gencode_250k_1m_multik", (21, 31), "T250000_k21_31.npz"),
+    for name, ks, cachef, ref_csv in (
+        ("c4_gencode_250k_1m_single_k", (31,), "T250000_k31.npz",
+         "/tmp/refbuild/gencode_out.csv"),
+        ("c4_gencode_250k_1m_multik", (21, 31), "T250000_k21_31.npz",
+         "/tmp/refbuild/gencode_out_k21_31.csv"),
     ):
         path = os.path.join(cache, cachef)
         if not os.path.exists(path):
@@ -428,11 +429,12 @@ def run_configs_full():
             "reads": packed.num_reads,
             **_timed_quant(cfg, idx, packed, repeats=2),
         }
-        if ks == (31,) and os.path.exists(ref_csv) and os.path.exists("/tmp/reads1m.fq"):
+        if os.path.exists(ref_csv) and os.path.exists("/tmp/reads1m.fq"):
             # Parity must run on THE SAME reads the reference binary
             # quantified (scripts/gencode_parity.py writes
-            # /tmp/reads1m.fq with its own seed) — not this entry's
-            # throughput sample.
+            # /tmp/reads1m.fq with its own seed, and also produces the
+            # reference's multi-k CSV) — not this entry's throughput
+            # sample.
             import tempfile
 
             from sketch_rna_tpu.io import native
