@@ -261,7 +261,14 @@ def run_configs(full: bool = False):
     BENCH_MATRIX.json."""
     from sketch_rna_tpu.pipeline import quantify_samples
 
+    # Merge over the existing matrix: entries produced by OTHER harness
+    # modes (--standard-spread, profile_stream_compute A/B) survive a
+    # configs refresh.
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.json")
     table = {}
+    if os.path.exists(out):
+        with open(out) as fh:
+            table = json.load(fh)
     table["c0_index_build"] = _config0_index_build()
     print(json.dumps({"config": "c0_index_build", **table["c0_index_build"]}),
           file=sys.stderr, flush=True)
@@ -336,7 +343,6 @@ def run_configs(full: bool = False):
     print(json.dumps({"config": "c5_multisample", **table["c5_multisample"]}),
           file=sys.stderr, flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.json")
     with open(out, "w") as fh:
         json.dump(table, fh, indent=1)
     print(json.dumps({"metric": "bench_matrix", "value": len(table),
