@@ -81,3 +81,105 @@ def test_rowmatch_overflow_counted():
         candidate_capacity=cfg.candidate_capacity,
     )
     assert int(jnp.sum(r.stats["expand_dropped"])) > 0
+
+
+def test_sort_event_parts_bit_identical_to_full_sort():
+    """Per-k sorts + bitonic merge must equal sorting the concatenation
+    (grouping input invariance) across pow2/odd widths and part counts."""
+    from sketch_rna_tpu.match.rowmatch import sort_event_parts
+
+    rng = np.random.default_rng(0)
+    for B, w, K in [(64, 8, 2), (32, 16, 2), (16, 64, 4), (4, 32, 8), (5, 7, 3), (6, 8, 3)]:
+        parts = [
+            jnp.asarray(rng.integers(0, 2**31, size=(B, w), dtype=np.int32))
+            for _ in range(K)
+        ]
+        got = np.asarray(sort_event_parts(parts))
+        want = np.sort(np.concatenate([np.asarray(p) for p in parts], axis=1), axis=1)
+        assert (got == want).all(), (B, w, K)
+
+
+def test_combine_k_tables_equals_event_grouping():
+    """Per-k K=1 grouping + table intersection must reproduce the K-wide
+    event grouping exactly when per-k capacities cover every passing set
+    (the production sizing guarantees this: Ck = min(2C, pow2(w)))."""
+    from sketch_rna_tpu.match.rowmatch import (
+        combine_k_tables,
+        row_events_to_candidates,
+    )
+
+    rng = np.random.default_rng(7)
+    B, w, K, T, C = 48, 24, 2, 12, 8
+    # random per-k event keys over few tids so intersections are dense;
+    # sentinel-fill a random tail per row (variable event counts)
+    parts = []
+    for _ in range(K):
+        ev = rng.integers(0, T, size=(B, w)).astype(np.int32)
+        n = rng.integers(0, w + 1, size=(B, 1))
+        ev = np.where(np.arange(w)[None, :] < n, ev, np.int32(2**31 - 1))
+        parts.append(ev)
+    # ground truth: the K-wide packed-key grouping (old path)
+    packed = [
+        np.where(p != 2**31 - 1, p * K + ki, np.int32(2**31 - 1))
+        for ki, p in enumerate(parts)
+    ]
+    want = row_events_to_candidates(
+        jnp.asarray(np.concatenate(packed, axis=1)),
+        num_k=K,
+        chain_fraction=0.9,
+        candidate_capacity=C,
+        num_transcripts=T,
+    )
+    # per-k grouping at full coverage (capacity >= T passing tids)
+    res_k = [
+        row_events_to_candidates(
+            jnp.asarray(p),
+            num_k=1,
+            chain_fraction=0.9,
+            candidate_capacity=16,
+            num_transcripts=T,
+        )
+        for p in parts
+    ]
+    got = combine_k_tables(
+        [r.tid for r in res_k],
+        [r.score for r in res_k],
+        [r.mask for r in res_k],
+        candidate_capacity=C,
+        score_bound=K * w,
+        num_transcripts=T,
+    )
+    assert np.array_equal(np.asarray(got.mask), np.asarray(want.mask))
+    assert np.array_equal(
+        np.asarray(jnp.where(got.mask, got.tid, 0)),
+        np.asarray(jnp.where(want.mask, want.tid, 0)),
+    )
+    assert np.array_equal(
+        np.asarray(jnp.where(got.mask, got.score, 0)),
+        np.asarray(jnp.where(want.mask, want.score, 0)),
+    )
+
+
+def test_per_k_expansion_budgets_match_global():
+    """row_match with per-k budget tuples equals the int budget when
+    both cover the data (per-k budgets only shrink padded lanes)."""
+    cfg, idx, codes, lengths = build(11, (21, 31), n_reads=120)
+    keys, row_ptr, postings = _padded_index_arrays(idx, (21, 31))
+    keys = [jnp.asarray(a) for a in keys]
+    row_ptr = [jnp.asarray(a) for a in row_ptr]
+    postings = [jnp.asarray(a) for a in postings]
+    hashes, masks = [], []
+    for k in (21, 31):
+        h, m, _ = sketch_batch(
+            jnp.asarray(codes), jnp.asarray(lengths), k,
+            cfg.sketch_fraction, cfg.sketch_capacity_for(k),
+        )
+        hashes.append(h)
+        masks.append(m)
+    kw = dict(chain_fraction=0.9, candidate_capacity=16, num_transcripts=idx.num_transcripts)
+    a = row_match(hashes, masks, keys, row_ptr, postings, events_per_read=256, **kw)
+    b = row_match(hashes, masks, keys, row_ptr, postings, events_per_read=(256, 128), **kw)
+    assert int(np.asarray(b.stats["expand_dropped"]).sum()) == 0
+    assert np.array_equal(np.asarray(a.tid), np.asarray(b.tid))
+    assert np.array_equal(np.asarray(a.score), np.asarray(b.score))
+    assert np.array_equal(np.asarray(a.mask), np.asarray(b.mask))
