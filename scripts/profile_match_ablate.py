@@ -123,17 +123,23 @@ def step_until(
     if stage == "perm":
         return acc + sum(jnp.sum(l[:, 0]) for l in lens_p) + jnp.sum(perm[:3])
 
+    # NOTE: production K>1 now runs INDEPENDENT per-k pipelines
+    # (rowmatch._row_match_per_k_tiered); this gated body keeps the
+    # round-5 measurement shape (shared permutation) for comparability —
+    # collapse per-k calibrations to the shared form.
     per_k = _is_per_k_widths(widths)
     if per_k:
-        plan = tuple((r, None) for r in tier_rows(B))
-    else:
-        plan = tier_plan(B, cfg.expand_per_read, widths)
+        from sketch_rna_tpu.match.rowmatch import shared_tier_widths
+
+        widths = shared_tier_widths(widths)
+        per_k = False
+    plan = tier_plan(B, cfg.expand_per_read, widths)
     row0 = 0
     tier_parts = []
     for t_i, (rows, w) in enumerate(plan):
         parts = []
         for ki in range(K):
-            w_k = widths[ki][t_i] if per_k else w
+            w_k = w
             s_t = jax.lax.slice_in_dim(starts_p[ki], row0, row0 + rows, axis=0)
             l_t = jax.lax.slice_in_dim(lens_p[ki], row0, row0 + rows, axis=0)
             key, d = row_expand_from_runs(

@@ -318,9 +318,13 @@ def run_quant(
         # without a blocking up-front scan: LazyScanFeed scans on a
         # background thread and quantify_streamed's device index upload
         # overlaps it.  Smaller files keep the exact num_reads route.
+        # (env override: tests exercise the lazy route on small files.)
+        stream_min = int(
+            _os.environ.get("SKETCH_TPU_STREAM_MIN_BYTES", 2 << 30)
+        )
         if (
             native.native_available()
-            and _os.path.getsize(reads_path) >= (2 << 30)
+            and _os.path.getsize(reads_path) >= stream_min
         ):
             stream_scan = native.LazyScanFeed(
                 reads_path,

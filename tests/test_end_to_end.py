@@ -190,3 +190,35 @@ def test_cli_subprocess_smoke(fixture_files):
         "Output written to",
     ]:
         assert phase in r2.stdout
+
+
+def test_cli_lazy_stream_route_matches_fused(fixture_files, tmp_path, monkeypatch):
+    """The big-file LazyScanFeed route (background scan + streaming
+    engine) must produce the same CSV as the default fused route.
+    SKETCH_TPU_STREAM_MIN_BYTES=1 forces the lazy route on the small
+    fixture; FUSED_MAX_PADDED_READS is irrelevant there (the route is
+    chosen by file size before any scan)."""
+    import sketch_rna_tpu.io.native as native
+
+    if not native.native_available():
+        pytest.skip("native fastio unavailable")
+    tmp, fasta, fastq, names, seqs, reads, read_names = fixture_files
+    idx_path = str(tmp / "ref.skidx.npz")
+    if not __import__("os").path.exists(idx_path):
+        run_cli(["-o", "index", "-k", "31", str(fasta), idx_path])
+    fused_csv = str(tmp_path / "fused.csv")
+    lazy_csv = str(tmp_path / "lazy.csv")
+    run_cli(["-o", "quant", idx_path, str(fastq), fused_csv])
+    monkeypatch.setenv("SKETCH_TPU_STREAM_MIN_BYTES", "1")
+    run_cli(["-o", "quant", idx_path, str(fastq), lazy_csv])
+    with open(fused_csv) as a, open(lazy_csv) as b:
+        ra = sorted(a.readlines())
+        rb = sorted(b.readlines())
+    assert len(ra) == len(rb) and len(ra) > 1
+    for la, lb in zip(ra, rb):
+        if la != lb:
+            na, va, wa = la.strip().split(",")
+            nb, vb, wb = lb.strip().split(",")
+            assert na == nb
+            assert abs(float(va) - float(vb)) <= 1e-4 * max(abs(float(vb)), 1.0)
+            assert abs(float(wa) - float(wb)) <= 1e-4 * max(abs(float(wb)), 1.0)
