@@ -628,7 +628,10 @@ def quantify_streamed(
         # before the chunk feed starts queuing behind them.
         for p in (*bpacked, *postings):
             np.asarray(p[(0,) * p.ndim])
-    known_R, m_cap, eff_chunk = _feed_plan()
+    with timer.phase("feed_plan"):
+        # May block on the tail of a LazyScanFeed's record scan (the
+        # part the index upload didn't cover).
+        known_R, m_cap, eff_chunk = _feed_plan()
     T = index.num_transcripts
 
     # Dual-buffer layout (stream_narrow_width > 0 and < C): the big
