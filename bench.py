@@ -571,11 +571,14 @@ def run_standard_spread(n: int = 5):
     if not vals:
         print(json.dumps({"metric": "standard_spread", "skipped": "no runs parsed"}))
         return
+    import statistics
+
     vals_sorted = sorted(vals)
     entry = {
         "runs": vals,
         "n": len(vals),
-        "median_reads_per_s": vals_sorted[len(vals) // 2],
+        "n_requested": n,  # < n runs means some subprocesses failed to parse
+        "median_reads_per_s": round(statistics.median(vals_sorted), 1),
         "min_reads_per_s": vals_sorted[0],
         "max_reads_per_s": vals_sorted[-1],
         "note": "standard bench (2k transcripts, 131072 reads, k=31), "

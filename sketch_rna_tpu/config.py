@@ -62,6 +62,12 @@ class QuantConfig:
     # each tier gets a window sized to its rank (match/rowmatch.tier_plan)
     # — ~6x fewer expanded lanes than a flat expand_per_read window.
     match_tiers: bool = True
+    # K>1 grouping mode: True = per-k top-table intersection (linear in
+    # K; per-k sets truncate at 2*candidate_capacity BEFORE the
+    # intersection — PARITY.md deviation 7), False = the merged K-wide
+    # event grouping (truncates only the final set).  On any candidate
+    # spill the engines rerun with False (exactness over speed).
+    match_per_k_tables: bool = True
     # (Removed in round 3: use_pallas_sketch.  Measured in the production
     # quant on a real v5e — jnp/XLA 800.4k reads/s vs fused Pallas kernel
     # 720.1k vs unfused Pallas hash 795.8k: XLA fuses the windowed-XOR

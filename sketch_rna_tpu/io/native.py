@@ -455,9 +455,20 @@ class LazyScanFeed:
 
     def close(self):
         # chunks_from_scan2 closes the scan once iteration starts; this
-        # covers the error-before-first-chunk path (idempotent).
-        if self._exc is None and not self._started:
-            self.scan.close()
+        # covers the error-before-first-chunk path.  Called from caller
+        # finally blocks, so it must not raise a late background-scan
+        # error over the exception already in flight — join, log, and
+        # close only a scan that actually opened.
+        if self._started:
+            return
+        self._thread.join()
+        if self._exc is not None:
+            log = logging.getLogger(__name__)
+            log.warning("background FASTQ scan failed during cleanup: %s",
+                        self._exc)
+            return
+        if self._scan is not None:
+            self._scan.close()
 
 
 def iter_fastq_chunks_native(

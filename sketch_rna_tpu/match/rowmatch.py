@@ -509,12 +509,31 @@ def _group_tier_parts(
     chain_fraction: float,
     candidate_capacity: int,
     num_transcripts: int = 0,
+    per_k_tables: bool = True,
 ) -> MatchResult:
-    """Dispatch: K=1 -> direct grouping; K>1 -> per-k + intersection."""
+    """Dispatch: K=1 -> direct grouping; K>1 -> per-k + intersection, or
+    (per_k_tables=False) the merged K-wide event grouping, which only
+    truncates the FINAL candidate set — the engines' exact fallback when
+    a per-k table spills pre-intersection (PARITY.md deviation 7).
+
+    parts carry PURE-TID keys; the merged mode packs them (tid*K + k)
+    the way the K-wide grouping expects."""
     if num_k == 1:
         return row_events_to_candidates(
             parts[0],
             num_k=1,
+            chain_fraction=chain_fraction,
+            candidate_capacity=candidate_capacity,
+            num_transcripts=num_transcripts,
+        )
+    if not per_k_tables:
+        packed = [
+            jnp.where(p != _I32_MAX, p * num_k + ki, _I32_MAX)
+            for ki, p in enumerate(parts)
+        ]
+        return row_events_to_candidates(
+            packed,
+            num_k=num_k,
             chain_fraction=chain_fraction,
             candidate_capacity=candidate_capacity,
             num_transcripts=num_transcripts,
@@ -772,6 +791,7 @@ def row_match_runs_tiered(
     candidate_capacity: int,
     num_transcripts: int = 0,
     tier_widths: Tuple[int, ...] = (8, 16, 64),
+    per_k_tables: bool = True,
 ) -> Tuple[MatchResult, jnp.ndarray]:
     """Tiered expand+group: sort batch rows by their max per-k event
     count, then give each tier a window sized to its rank (tier_plan).
@@ -791,7 +811,7 @@ def row_match_runs_tiered(
     K = num_k
     C = candidate_capacity
     per_k = _is_per_k_widths(tier_widths)
-    if per_k and B >= 1024 and K > 1:
+    if per_k and B >= 1024 and K > 1 and per_k_tables:
         return _row_match_per_k_tiered(
             starts,
             lens,
@@ -830,6 +850,7 @@ def row_match_runs_tiered(
             chain_fraction=chain_fraction,
             candidate_capacity=C,
             num_transcripts=num_transcripts,
+            per_k_tables=per_k_tables,
         )
         result.stats["expand_dropped"] = jnp.stack(drops)
         result.stats["expand_dropped_pretail"] = jnp.zeros((), jnp.int32)
@@ -866,6 +887,7 @@ def row_match_runs_tiered(
             chain_fraction=chain_fraction,
             candidate_capacity=C,
             num_transcripts=num_transcripts,
+            per_k_tables=per_k_tables,
         )
         t, s, m = res.tid, res.score, res.mask
         if t.shape[1] < C:
@@ -903,6 +925,7 @@ def row_match(
     events_per_read: int,
     candidate_capacity: int,
     num_transcripts: int = 0,
+    per_k_tables: bool = True,
 ) -> MatchResult:
     """Full row-parallel match against a local (replicated) index."""
     K = len(sketch_hashes)
@@ -927,6 +950,7 @@ def row_match(
         chain_fraction=chain_fraction,
         candidate_capacity=candidate_capacity,
         num_transcripts=num_transcripts,
+        per_k_tables=per_k_tables,
     )
     result.stats["expand_dropped"] = jnp.stack(drops)
     return result

@@ -289,6 +289,7 @@ def _tier_widths_for(index, packed, config, bpacked, bucket_meta, caps, ks, L):
         "restore_order",
         "tier_widths",
         "probe_width",
+        "match_per_k_tables",
     ),
 )
 def sketch_match_step(
@@ -309,6 +310,7 @@ def sketch_match_step(
     restore_order: bool = False,
     tier_widths: Tuple[int, ...] = (8, 16, 64),
     probe_width: Optional[int] = None,
+    match_per_k_tables: bool = True,
 ):
     """One device batch: per-k sketching + candidate matching.
 
@@ -402,6 +404,7 @@ def sketch_match_step(
             candidate_capacity=candidate_capacity,
             num_transcripts=num_transcripts,
             tier_widths=tier_widths,
+            per_k_tables=match_per_k_tables,
         )
         tid, score, mask = result.tid, result.score, result.mask
         if pperm is not None:
@@ -418,13 +421,16 @@ def sketch_match_step(
             stats["expand_dropped_pretail"] + probe_spill
         )
     else:
+        from sketch_rna_tpu.match.rowmatch import _epr_per_k
+
+        eprs = _epr_per_k(expand_per_read, K)
         parts, drops = [], []
         for ki in range(K):
             key, d = row_expand_from_runs(
                 starts[ki],
                 lens[ki],
                 index_postings[ki],
-                events_per_read=expand_per_read,
+                events_per_read=eprs[ki],
                 k_index=0,
                 num_k=1,
             )
@@ -436,6 +442,7 @@ def sketch_match_step(
             chain_fraction=chain_fraction,
             candidate_capacity=candidate_capacity,
             num_transcripts=num_transcripts,
+            per_k_tables=match_per_k_tables,
         )
         tid, score, mask = result.tid, result.score, result.mask
         stats = dict(result.stats)
@@ -459,6 +466,7 @@ def sketch_match_step(
         "match_tiers",
         "tier_widths",
         "probe_width",
+        "match_per_k_tables",
     ),
 )
 def match_scan(
@@ -478,6 +486,7 @@ def match_scan(
     match_tiers: bool = True,
     tier_widths: Tuple[int, ...] = (8, 16, 64),
     probe_width: Optional[int] = None,
+    match_per_k_tables: bool = True,
 ):
     """Sketch + match over all batches in ONE device program (lax.scan)
     — no host roundtrips between batches.  Returns stacked candidate
@@ -505,6 +514,7 @@ def match_scan(
             match_tiers=match_tiers,
             tier_widths=tier_widths,
             probe_width=probe_width,
+            match_per_k_tables=match_per_k_tables,
         )
         dropped, spilled, sk_ov, ncm, pretail = carry
         n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
@@ -633,6 +643,7 @@ def collect_pairs(
             restore_order=True,
             tier_widths=widths,
             probe_width=probe_w if config.match_tiers else None,
+            match_per_k_tables=config.match_per_k_tables,
         )
         pending.append((out, row0))
     if config.match_tiers:
@@ -972,6 +983,7 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
                 match_tiers=tiers,
                 tier_widths=widths,
                 probe_width=probe_w if tiers else None,
+                match_per_k_tables=config.match_per_k_tables,
             )
 
         t, s, nc, st = run_scan(config.match_tiers)
@@ -1001,19 +1013,22 @@ def _match_tables(index: IndexArtifact, packed: PackedReads, config: QuantConfig
             else:
                 rows_probed = B * cap
             sizes["probe_bytes"] += nb_b * rows_probed * 3 * mb * 4
-        from sketch_rna_tpu.match.rowmatch import _is_per_k_widths
+        from sketch_rna_tpu.match.rowmatch import _epr_per_k, _is_per_k_widths
 
+        eprs_acc = _epr_per_k(
+            config.expand_per_read_k or config.expand_per_read, K
+        )
         if config.match_tiers and _is_per_k_widths(widths) and B >= 1024:
             lanes = sum(
                 r * w
-                for wk in widths
-                for r, w in tier_plan(B, config.expand_per_read, wk)
+                for ki, wk in enumerate(widths)
+                for r, w in tier_plan(B, eprs_acc[ki], wk)
             )
         elif config.match_tiers:
-            plan = tier_plan(B, config.expand_per_read, widths)
+            plan = tier_plan(B, max(eprs_acc), widths)
             lanes = sum(r * w for r, w in plan) * K
         else:
-            lanes = B * config.expand_per_read * K
+            lanes = B * sum(eprs_acc)
         sizes["group_lanes"] += nb_b * lanes
     if len(tbl_parts) == 1:
         tbl_tid, tbl_score = tbl_parts[0]
@@ -1168,6 +1183,7 @@ def _quantify_fused(
                         jnp.reshape(n_cand_max, (1,)),
                         jnp.reshape(stats["expand_dropped_pretail"], (1,)),
                         scalars,
+                        jnp.reshape(stats["candidate_spilled"], (1,)),
                         jnp.ravel(stats["expand_dropped"]),
                     ]
                 )
@@ -1178,6 +1194,7 @@ def _quantify_fused(
                     [
                         jnp.reshape(n_cand_max, (1,)),
                         jnp.reshape(stats["expand_dropped_pretail"], (1,)),
+                        jnp.reshape(stats["candidate_spilled"], (1,)),
                         jnp.ravel(stats["expand_dropped"]),
                     ]
                 )
@@ -1196,6 +1213,26 @@ def _quantify_fused(
         )
     K_ret = len(index.kmer_lengths)
     dropped_k = sync[-K_ret:]
+    if (
+        config.match_per_k_tables
+        and K_ret > 1
+        and int(sync[-K_ret - 1]) > 0
+    ):
+        # A per-k candidate table spilled pre-intersection (or the final
+        # set overflowed C): rerun with the merged K-wide grouping,
+        # which truncates only the FINAL set — the round-4 semantics
+        # (PARITY.md deviation 7).  Exactness over speed, never silent.
+        log.warning(
+            "candidate table spilled %d lanes under per-k grouping; "
+            "rerunning with merged K-wide grouping",
+            int(sync[-K_ret - 1]),
+        )
+        return _quantify_fused(
+            index,
+            packed,
+            dataclasses.replace(config, match_per_k_tables=False),
+            nb,
+        )
     eprs_now = config.expand_per_read_k or (config.expand_per_read,) * K_ret
     if any(
         int(d) > 0 and e < EXPAND_RETRY_MAX

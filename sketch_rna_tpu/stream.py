@@ -90,6 +90,16 @@ def stream_retry_config(config: QuantConfig, stats: dict):
             "expansion budget dropped %d events -> expand_per_read=%d"
             % (stats["expand_dropped"], epr),
         )
+    if (
+        stats.get("candidate_spilled", 0) > 0
+        and config.match_per_k_tables
+        and len(config.kmer_lengths) > 1
+    ):
+        return (
+            dataclasses.replace(config, match_per_k_tables=False),
+            "candidate table spilled %d lanes under per-k grouping -> "
+            "merged K-wide grouping" % stats["candidate_spilled"],
+        )
     if stats.get("wide_spilled", 0) > 0 and config.stream_narrow_width > 0:
         return (
             dataclasses.replace(config, stream_narrow_width=0),
@@ -155,6 +165,7 @@ def _tier_widths_dev(
         "match_tiers",
         "tier_widths",
         "probe_width",
+        "match_per_k_tables",
         "narrow_width",
         "wide_capacity",
     ),
@@ -176,6 +187,7 @@ def chunk_match_classes(
     match_tiers: bool = True,
     tier_widths: Tuple[int, ...] = (8, 16, 64),
     probe_width: Optional[int] = None,
+    match_per_k_tables: bool = True,
     narrow_width: int = 0,
     wide_capacity: int = 0,
 ):
@@ -233,6 +245,7 @@ def chunk_match_classes(
             match_tiers=match_tiers,
             tier_widths=tier_widths,
             probe_width=probe_width,
+            match_per_k_tables=match_per_k_tables,
         )
         score = jnp.where(mask, score, 0)
         n_cand = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
@@ -725,6 +738,7 @@ def quantify_streamed(
             match_tiers=config.match_tiers,
             tier_widths=widths,
             probe_width=probe_w if config.match_tiers else None,
+            match_per_k_tables=config.match_per_k_tables,
             narrow_width=nw if dual else 0,
             wide_capacity=wcap,
         )

@@ -183,3 +183,40 @@ def test_per_k_expansion_budgets_match_global():
     assert np.array_equal(np.asarray(a.tid), np.asarray(b.tid))
     assert np.array_equal(np.asarray(a.score), np.asarray(b.score))
     assert np.array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+
+def test_flat_path_accepts_per_k_budgets():
+    """Regression (round-5 review finding): the non-tiered match branch
+    crashed with TypeError when expand_per_read_k was set (the fused
+    engine's flat-rerun -> per-k-retry chain reaches that state)."""
+    import dataclasses
+
+    from sketch_rna_tpu.io.packing import PackedReads
+    from sketch_rna_tpu.pipeline import quantify
+
+    cfg, idx, codes, lengths = build(13, (21, 31), n_reads=80)
+    packed = PackedReads(codes, lengths, [])
+    base = dataclasses.replace(cfg, match_tiers=False)
+    r1 = quantify(idx, packed, base)
+    r2 = quantify(
+        idx, packed, dataclasses.replace(base, expand_per_read_k=(256, 128))
+    )
+    assert int(np.asarray(r2.stats.get("expand_dropped", 0)).sum()) == 0
+    np.testing.assert_allclose(r2.pi, r1.pi, rtol=1e-6)
+    np.testing.assert_allclose(r2.weighted_counts, r1.weighted_counts, rtol=1e-6)
+
+
+def test_merged_grouping_mode_matches_per_k():
+    """match_per_k_tables=False (the exact spill fallback) must agree
+    with the default per-k mode when nothing spills."""
+    import dataclasses
+
+    from sketch_rna_tpu.io.packing import PackedReads
+    from sketch_rna_tpu.pipeline import quantify
+
+    cfg, idx, codes, lengths = build(17, (21, 31), n_reads=100)
+    packed = PackedReads(codes, lengths, [])
+    r1 = quantify(idx, packed, cfg)
+    r2 = quantify(idx, packed, dataclasses.replace(cfg, match_per_k_tables=False))
+    np.testing.assert_allclose(r2.pi, r1.pi, rtol=1e-6)
+    np.testing.assert_allclose(r2.weighted_counts, r1.weighted_counts, rtol=1e-6)
