@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "DISTINCT candidate profiles held on device — overflow "
                    "drops classes and is counted, never silent)"
                    % QuantConfig.stream_class_capacity)
+    p.add_argument("--merged-k-grouping", action="store_true",
+                   help="multi-k: use the merged K-wide event grouping "
+                   "instead of per-k table intersection (the engines "
+                   "fall back to this automatically on a candidate "
+                   "spill; forcing it trades ~2x multi-k match time for "
+                   "truncating only the final candidate set)")
     p.add_argument("--no-stream-drain", action="store_true",
                    help="disable the class-buffer exactness recovery (host "
                    "drain + re-merge when streaming; one bigger-buffer rerun "
@@ -153,6 +159,7 @@ def _config_from_args(args, kmer_lengths) -> QuantConfig:
             if args.stream_class_capacity
             else {}
         ),
+        **({"match_per_k_tables": False} if args.merged_k_grouping else {}),
         **({"stream_drain": False} if args.no_stream_drain else {}),
     )
 
