@@ -113,8 +113,14 @@ def one_trial(seed: int) -> dict:
         chain_fraction=chain_fraction,
         em_max_iterations=em_iters,
     )
-    np.testing.assert_allclose(result.pi, o_pi, rtol=1e-9, atol=1e-12)
-    np.testing.assert_allclose(result.weighted_counts, o_weighted, rtol=1e-9, atol=1e-12)
+    # rtol 5e-9, not 1e-9: the engines sum float64 posteriors in class/
+    # batch order while the oracle sums in dict order, and across random
+    # shapes x iteration counts the associativity drift can reach
+    # ~1.5e-9 (seed 9114: K=3 streamed, identical across ALL engine
+    # modes, 1.42e-9 from the oracle — round-5 analysis).  Semantic
+    # breakage shows up orders of magnitude above this.
+    np.testing.assert_allclose(result.pi, o_pi, rtol=5e-9, atol=1e-12)
+    np.testing.assert_allclose(result.weighted_counts, o_weighted, rtol=5e-9, atol=1e-12)
     got_csv = [t for t in range(len(seqs)) if result.has_entry[t]]
     assert got_csv == o_csv, f"csv rows {got_csv} != {o_csv}"
     return {
