@@ -623,10 +623,12 @@ def main():
     # Warm-up pass absorbs compilation (same static shapes as the timed run).
     quantify(idx, packed, cfg)
 
-    # Best of 3: the ~1 s timed window sees +/-20% dispatch jitter on
-    # tunneled backends; min-of-N is the standard stable estimator.
+    # Best of 5: the ~1 s timed window sees +/-20% dispatch jitter on
+    # tunneled backends; min-of-N is the standard stable estimator
+    # (each extra repeat costs ~0.2 s; c_bench_standard holds the
+    # cross-process spread).
     elapsed = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         result = quantify(idx, packed, cfg)
         elapsed = min(elapsed, time.perf_counter() - t0)
