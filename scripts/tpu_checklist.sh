@@ -47,7 +47,10 @@ run() {
   tail -20 "/tmp/tpu_logs/$name.log"
 }
 
-# 1. Headline bench (records roofline block; compare vs BENCH_r02 788k).
+# 1. Headline bench.  SINGLE CAPTURES JITTER ~25% on this tunnel
+#    (round-5 spreads: 667-941k with identical code) — the committed
+#    headline is the fresh-process spread median:
+run bench_spread python bench.py --standard-spread 5
 run bench python bench.py
 
 # 2. GENCODE-scale single-k and multi-k throughput (+ attributed phase
@@ -77,7 +80,18 @@ if [ -f /tmp/ours250k.npz ] && [ -f /tmp/reads1m.fq ] && [ -f /tmp/refbuild/genc
     /tmp/gencode_tpu.csv /tmp/refbuild/gencode_out.csv --rel-tol 2e-3
 fi
 
-# 6. Full bench config matrix for the round artifact (BENCH_MATRIX.json).
-run bench_configs python bench.py --configs
+# 6. Full bench config matrix for the round artifact (BENCH_MATRIX.json);
+#    --configs-full adds the real GENCODE entries + parity blocks (needs
+#    the scale cache and scripts/gencode_parity.py artifacts), then a
+#    fresh-process 32M entry replaces the in-matrix one.
+run bench_configs python bench.py --configs-full
+run stream32m_entry python bench.py --stream32m
+
+# 7. Round-5 measurement probes (all chained/gated — see each script's
+#    header for why naive timing lies on this backend):
+#    - streaming compute-only bound (no per-chunk H2D):
+run stream_compute python scripts/profile_stream_compute.py 16
+#    - multi-k stage ablation (gated fused program):
+run match_ablate python scripts/profile_match_ablate.py
 
 echo "checklist complete; logs in /tmp/tpu_logs/"
